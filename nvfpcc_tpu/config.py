@@ -1,0 +1,63 @@
+"""Experiment configuration dataclasses.
+
+Mirrors the reference's flag surface (``NVFPCC.py:654-748``) plus the
+module-level experiment constants (``NVFPCC.py:23-29``: Gaussian prob/param
+models, 'wfocal' main loss, focal alpha 0.9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass
+class ModelConfig:
+    ch: int = 3  # latent channels (--ch; README uses 3)
+    chanstr: str = "8,16,8,8"  # decoder channel plan (--chanstr)
+    seed_tag: str = "nvfpcc-tpu/seed-stream/v1"
+
+    @property
+    def channels(self) -> Tuple[int, ...]:
+        return tuple(int(c) for c in self.chanstr.split(","))
+
+
+@dataclass
+class TrainConfig:
+    lmbda: float = 200.0  # --lambda (README: 200)
+    w1: float = 10.0  # latent-rate weight (README: 10)
+    w2: float = 57.0  # network-rate weight (README: 57)
+    wemb: float = 5.0  # embedding lr multiplier (README: 5)
+    lr: float = 1e-3  # README: 1e-3
+    batch_size: int = 16  # README: 16
+    epochs: int = 501  # NVFPCC.py:128
+    phase_change: int = 100  # q: 1 -> 2 at this epoch (NVFPCC.py:144-147)
+    focal_alpha: float = 0.9  # NVFPCC.py:28
+    ms_alpha: float = 0.85  # aux multiscale focal alpha (NVFPCC.py:166-171)
+    beta: float = 1.0  # wfocal occupied-voxel weight (NVFPCC.py:184)
+    sse_thh: float = 0.6  # train-time PSNR1 threshold (NVFPCC.py:192)
+    milestones: Tuple[int, ...] = (300, 400, 450)  # MultiStepLR (NVFPCC.py:117)
+    lr_decay: float = 0.1
+    shuffle: str = "stride"  # "stride" (ref pseudo-shuffle idx*2113 % N), "random", "none"
+    eval_every: int = 10  # eval + checkpoint cadence (NVFPCC.py:284)
+    ref_sched_quirk: bool = False
+    """Reproduce the reference scheduler bug (NVFPCC.py:126): both schedulers
+    step the *net* optimizer, so the net lr decays twice (x0.01 per milestone)
+    and the embedding lr never decays. Off by default (intended behavior)."""
+    seed: int = 0
+
+
+@dataclass
+class CodecConfig:
+    thh_encode: float = 0.65  # README:55
+    thh_decode: float = 0.64  # README:61
+    qp: int = 16  # weight quantization (README "4-bit" residuals)
+    depth: int = 10  # vox10
+    level: int = 5  # octree partition level -> 32^3 blocks
+
+
+@dataclass
+class ExperimentConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    codec: CodecConfig = field(default_factory=CodecConfig)

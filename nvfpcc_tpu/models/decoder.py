@@ -1,0 +1,281 @@
+"""The NVF codec model: latent generator + entropy bottleneck + CompDecoder.
+
+Functional rebuild of the reference model stack (``NVFPCC.py:32-74`` ``Net``;
+``utils/network.py:4490-4552`` ``QuantGaussianLikelihood``; ``:4592-4612``
+``SingleLayerLatentGen``; ``:4648-4799`` active ``CompDecoder``), redesigned
+for TPU:
+
+- channels-last NDHWC activations, all blocks batched through one jitted
+  forward (the reference loops blocks with B=16; we keep the MXU fed by
+  batching the full leaf set),
+- static ``q`` phase (1 = additive-noise proxy, 2 = STE hard rounding) so XLA
+  compiles exactly two variants of the step,
+- explicit PRNG keys for all quantization noise (the reference uses global
+  torch RNG).
+
+Decoder shape chain on a 2^3 latent (reference ``utils/network.py:4758-4770``):
+``up0``(k5 s2 p2 op1) 2->4 + IGDN, ``conv0``(deconv k5 s2 p2 op1) 4->8 + ReLU
+[aux head conv0_cls], ``up1``(deconv k5 s2) 8->19 + ReLU, ``conv1``(k4 valid)
+19->16 + ReLU [aux head conv1_cls], ``up2``(deconv k5 s2) 16->35 + ReLU,
+``conv2``(k4 valid) 35->32 + ReLU, ``conv2_cls``(k3 p1) + sigmoid -> occupancy.
+
+Exactly 7 kernels are transmitted (quantized residuals):
+up0, conv0, up1, conv1, up2, conv2, conv2_cls — reference
+``CompDecoder.get_q_params`` (``utils/network.py:4781-4792``). The aux heads
+conv0_cls/conv1_cls and the latent generator are training-only and never
+shipped (reference decode loads ``strict=False`` without them,
+``NVFPCC.py:577-583``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nvfpcc_tpu.ops import conv as qc
+from nvfpcc_tpu.ops import gdn, rate
+from nvfpcc_tpu.ops.ste import bypass_round, bypass_round16
+from nvfpcc_tpu.utils import seeds
+
+# stable per-layer seed indices (decoder-regenerable; order is part of the format)
+_LAYER_SEED_IDX = {
+    "latent_gen": 0,
+    "up0": 1,
+    "conv0": 2,
+    "up1": 3,
+    "conv1": 4,
+    "up2": 5,
+    "conv2": 6,
+    "conv2_cls": 7,
+    "conv1_cls": 8,
+    "conv0_cls": 9,
+}
+
+TRANSMITTED_KERNELS = ("up0", "conv0", "up1", "conv1", "up2", "conv2", "conv2_cls")
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Static model description: channel plan + per-layer specs with seeded inits."""
+
+    ch: int  # latent channels
+    channels: Tuple[int, int, int, int]
+    specs: dict  # name -> QSpec
+    seed_tag: str
+
+    @property
+    def latent_shape(self) -> Tuple[int, int, int, int]:
+        return (2, 2, 2, self.ch)
+
+
+def build_model_spec(
+    ch: int = 3,
+    channels: Tuple[int, int, int, int] = (8, 16, 8, 8),
+    seed_tag: str = seeds.DEFAULT_TAG,
+) -> ModelSpec:
+    """Construct layer specs mirroring the reference architecture
+    (``utils/network.py:4652-4751``)."""
+    key = seeds.base_key(seed_tag)
+    c0, c1, c2, c3 = channels
+
+    def k(name):
+        return seeds.layer_key(key, _LAYER_SEED_IDX[name])
+
+    specs = {
+        "latent_gen": qc.make_qspec(k("latent_gen"), "conv", ch, ch, 1, 1, 0),
+        "up0": qc.make_qspec(k("up0"), "conv_transpose", ch, c0, 5, 2, 2, output_padding=1),
+        "conv0": qc.make_qspec(k("conv0"), "conv_transpose", c0, c1, 5, 2, 2, output_padding=1),
+        "up1": qc.make_qspec(k("up1"), "conv_transpose", c1, c2, 5, 2, 0),
+        "conv1": qc.make_qspec(k("conv1"), "conv", c2, c2, 4, 1, 0),
+        "up2": qc.make_qspec(k("up2"), "conv_transpose", c2, c3, 5, 2, 0),
+        "conv2": qc.make_qspec(k("conv2"), "conv", c3, c3, 4, 1, 0),
+        "conv2_cls": qc.make_qspec(k("conv2_cls"), "conv", c3, 1, 3, 1, 1),
+        "conv1_cls": qc.make_qspec(k("conv1_cls"), "conv", c2, 1, 3, 1, 1),
+        "conv0_cls": qc.make_qspec(k("conv0_cls"), "conv", c1, 1, 3, 1, 1),
+    }
+    return ModelSpec(ch=ch, channels=tuple(channels), specs=specs, seed_tag=seed_tag)
+
+
+# ---------------------------------------------------------------------------
+# parameter init
+# ---------------------------------------------------------------------------
+
+
+def init_params(spec: ModelSpec) -> dict:
+    """Full trainable pytree. Residual kernels start at zero; entropy-model
+    sigma at 1, mu at 0 (reference ``utils/network.py:4504-4512``)."""
+    p = {name: qc.conv_init(s) for name, s in spec.specs.items()}
+    return {
+        "latent_gen": {"conv": p["latent_gen"], "gdn": gdn.gdn_init(spec.ch)},
+        "entropy": {
+            "sigma": jnp.ones((spec.ch,), jnp.float32),
+            "mu": jnp.zeros((spec.ch,), jnp.float32),
+        },
+        "decoder": {
+            "up0": p["up0"],
+            "conv0": p["conv0"],
+            "up1": p["up1"],
+            "conv1": p["conv1"],
+            "up2": p["up2"],
+            "conv2": p["conv2"],
+            "conv2_cls": p["conv2_cls"],
+            "conv1_cls": p["conv1_cls"],
+            "conv0_cls": p["conv0_cls"],
+            "igdn": gdn.gdn_init(spec.channels[0]),
+            "wrate": rate.scalar_gaussian_rate_params(),
+        },
+    }
+
+
+def init_embeddings(n_blocks: int, ch: int) -> jnp.ndarray:
+    """Per-block latent embeddings, channels-last (N, 2, 2, 2, ch), init ones
+    (reference ``NVFPCC.py:120-123``)."""
+    return jnp.ones((n_blocks, 2, 2, 2, ch), jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# forward pieces
+# ---------------------------------------------------------------------------
+
+
+def latent_gen_apply(spec: ModelSpec, params: dict, emb: jnp.ndarray) -> jnp.ndarray:
+    """1x1x1 seeded conv + GDN (reference ``SingleLayerLatentGen``,
+    ``utils/network.py:4592-4612``)."""
+    h = qc.iconv3d(spec.specs["latent_gen"], params["latent_gen"]["conv"], emb)
+    return gdn.gdn_apply(params["latent_gen"]["gdn"], h)
+
+
+def entropy_apply(
+    params: dict, x: jnp.ndarray, mode: str, key: Optional[jax.Array] = None
+):
+    """Latent bottleneck: STE round + Gaussian rate, additive noise in train
+    (reference ``QuantGaussianLikelihood.forward``, ``utils/network.py:4514-4539``).
+
+    Returns ``(x_rounded, bits)`` where ``bits`` has the same shape as ``x``
+    (per-element rate; sum for the reference's total).
+    """
+    sigma = jnp.abs(params["entropy"]["sigma"])
+    mu = params["entropy"]["mu"]
+    x_rounded = bypass_round(x)
+    if mode == "train":
+        if key is None:
+            raise ValueError("train-mode entropy bottleneck needs a PRNG key")
+        noise = jax.random.uniform(key, x.shape, x.dtype, -0.5, 0.5)
+        x_form = x + noise
+    else:
+        x_form = x_rounded
+    bits = rate.gaussian_bits(x_form, sigma, mu, step=1.0)
+    return x_rounded, bits
+
+
+def decoder_apply(
+    spec: ModelSpec,
+    params: dict,
+    latent: jnp.ndarray,
+    q: int,
+    key: Optional[jax.Array] = None,
+):
+    """CompDecoder forward (reference ``utils/network.py:4758-4779``).
+
+    Returns ``(occupancy (B,32,32,32,1), cls_list [8^3, 16^3, 32^3], net_bits (7,))``.
+    """
+    if latent.ndim != 5 or latent.shape[1:] != (2, 2, 2, spec.ch):
+        raise ValueError(
+            f"latent must be (B, 2, 2, 2, {spec.ch}), got {latent.shape}"
+        )
+    dp = params["decoder"]
+    if q == 1:
+        keys = jax.random.split(key, 7)
+        kk = dict(zip(TRANSMITTED_KERNELS, keys))
+    else:
+        kk = {n: None for n in TRANSMITTED_KERNELS}
+
+    relu = jax.nn.relu
+    out = qc.qconv_transpose3d(spec.specs["up0"], dp["up0"], latent, q, kk["up0"])
+    out = gdn.igdn_apply(dp["igdn"], out)
+    out = relu(qc.qconv_transpose3d(spec.specs["conv0"], dp["conv0"], out, q, kk["conv0"]))
+    cls0 = jax.nn.sigmoid(qc.iconv3d(spec.specs["conv0_cls"], dp["conv0_cls"], out))
+    out = relu(qc.qconv_transpose3d(spec.specs["up1"], dp["up1"], out, q, kk["up1"]))
+    out = relu(qc.qconv3d(spec.specs["conv1"], dp["conv1"], out, q, kk["conv1"]))
+    cls1 = jax.nn.sigmoid(qc.iconv3d(spec.specs["conv1_cls"], dp["conv1_cls"], out))
+    out = relu(qc.qconv_transpose3d(spec.specs["up2"], dp["up2"], out, q, kk["up2"]))
+    out = relu(qc.qconv3d(spec.specs["conv2"], dp["conv2"], out, q, kk["conv2"]))
+    out = qc.qconv3d(spec.specs["conv2_cls"], dp["conv2_cls"], out, q, kk["conv2_cls"])
+    out = jax.nn.sigmoid(out)
+
+    net_bits = jnp.stack(
+        [
+            rate.scalar_gaussian_rate(dp["wrate"], bypass_round16(dp[n]["kernel"]))
+            for n in TRANSMITTED_KERNELS
+        ]
+    )
+    return out, [cls0, cls1, out], net_bits
+
+
+def net_apply(
+    spec: ModelSpec,
+    params: dict,
+    emb: jnp.ndarray,
+    mode: str,
+    q: int,
+    key: Optional[jax.Array] = None,
+):
+    """Full forward (reference ``Net.forward``, ``NVFPCC.py:41-45``).
+
+    Returns ``(occupancy, cls_list, net_bits (7,), latent_bits (B,))`` with
+    per-block latent rate (sum over blocks for the reference's total — kept
+    per block so padded batches can be masked under jit).
+    """
+    if key is not None:
+        ekey, dkey = jax.random.split(key)
+    else:
+        ekey = dkey = None
+    latent = latent_gen_apply(spec, params, emb)
+    latent_rounded, bits = entropy_apply(params, latent, mode, ekey)
+    latent_bits = bits.reshape(bits.shape[0], -1).sum(axis=1)
+    out, cls_list, net_bits = decoder_apply(spec, params, latent_rounded, q, dkey)
+    return out, cls_list, net_bits, latent_bits
+
+
+def reconstruct(spec: ModelSpec, params: dict, latent: jnp.ndarray, q: int = 2):
+    """Decode-only path (reference ``Net.reconstruct``, ``NVFPCC.py:47-49``)."""
+    out, _, _ = decoder_apply(spec, params, latent, q)
+    return out
+
+
+def get_latent_code(spec: ModelSpec, params: dict, emb: jnp.ndarray) -> dict:
+    """Export quantized latents + entropy-model params for the range coder
+    (reference ``Net.get_latent_code``, ``NVFPCC.py:60-71``)."""
+    latent = latent_gen_apply(spec, params, emb)
+    rounded, bits = entropy_apply(params, latent, mode="eval")
+    return {
+        "quantized_latent": rounded,
+        "sigma": jnp.abs(params["entropy"]["sigma"]),
+        "mu": params["entropy"]["mu"],
+        "latent_bits": bits.sum(),
+    }
+
+
+def get_network_bits(spec: ModelSpec, params: dict) -> float:
+    """Signaled network size estimate in bits (reference ``Net.get_network_bits``
+    + ``CompDecoder.get_bits``, ``utils/network.py:4794-4799``: kernel-residual
+    rate plus a fixed fp32 accounting of the as-is aux params; we mirror the
+    reference's aux formula for metric parity)."""
+    dp = params["decoder"]
+    net_bits = sum(
+        float(rate.scalar_gaussian_rate(dp["wrate"], bypass_round16(dp[n]["kernel"])))
+        for n in TRANSMITTED_KERNELS
+    )
+    c = spec.channels
+    aux_bits = sum(c[i] * 2 for i in (1, 2, 3)) * 32 + 32 + (c[1] ** 2 + c[1]) * 32
+    entropy_bits = spec.ch * 2 * 32  # sigma+mu fp32 (QuantGaussianLikelihood.get_bits)
+    return net_bits + aux_bits + entropy_bits
+
+
+def count_transmitted_residuals(spec: ModelSpec) -> int:
+    """Number of coded residual weights (~51.4k at the reference config)."""
+    return int(sum(np.prod(spec.specs[n].kernel_shape) for n in TRANSMITTED_KERNELS))
