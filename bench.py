@@ -1,0 +1,95 @@
+"""Headline benchmark: steady-state training-epoch wall-clock at the flagship
+configuration (longdress_vox10 scale: 917 leaf blocks of 32^3, batch 16,
+per-batch net updates + the full-set embedding update).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no timings (BASELINE.md); the driver's
+north star is "full 501-epoch train+encode+decode < 10 min on v5e-8, >= 20x
+reference", which implies a reference epoch cost of ~24 s on its GPU
+(501 epochs x 24 s ~ 200 min). vs_baseline = 24_000 ms / our epoch ms, i.e.
+the speedup over that inferred reference epoch.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_EPOCH_MS = 24_000.0  # inferred reference per-epoch cost (see docstring)
+
+N_BLOCKS = 917
+WARMUP_EPOCHS = 1
+TIMED_EPOCHS = 3
+
+
+def synthetic_flagship_grids(seed: int = 0):
+    """917 blocks with realistic occupancy (~3% surface voxels) + distances."""
+    rng = np.random.default_rng(seed)
+    gt = (rng.uniform(0, 1, (N_BLOCKS, 32, 32, 32)) < 0.03).astype(np.uint8)
+    dist = (rng.uniform(0, 8, gt.shape) * (1 - gt)).astype(np.float32)
+    return gt, dist
+
+
+def main() -> None:
+    from nvfpcc_tpu.config import ModelConfig, TrainConfig
+    from nvfpcc_tpu.models import decoder as M
+    from nvfpcc_tpu.train import loop as T
+
+    gt, dist = synthetic_flagship_grids()
+    mcfg = ModelConfig()  # ch=3, chanstr 8,16,8,8 (flagship)
+    cfg = TrainConfig(batch_size=16)
+
+    spec = M.build_model_spec(mcfg.ch, mcfg.channels, mcfg.seed_tag)
+    params = M.init_params(spec)
+    emb = M.init_embeddings(N_BLOCKS, mcfg.ch)
+    steps_per_epoch = -(-N_BLOCKS // cfg.batch_size)
+    net_opt, emb_opt = T.make_optimizers(cfg, steps_per_epoch)
+    opt_state = net_opt.init(params)
+    emb_opt_state = emb_opt.init(emb)
+    n_total_pts = float(gt.sum())
+    gt_d, dist_d = T._prep_dense(gt, dist)
+    block_valid = jnp.ones((N_BLOCKS,), jnp.float32)
+
+    epoch_fn = T.make_epoch_fn(spec, cfg, net_opt, emb_opt, n_total_pts, q=2)
+    idx, mask = T.batch_plan(N_BLOCKS, cfg.batch_size, cfg.shuffle, cfg.seed, 0)
+    idx_d, mask_d = jnp.asarray(idx), jnp.asarray(mask)
+    key = jax.random.PRNGKey(0)
+
+    def run_epoch(state):
+        params, opt_state, emb, emb_opt_state = state
+        out = epoch_fn(
+            params, opt_state, emb, emb_opt_state, gt_d, dist_d, idx_d, mask_d,
+            block_valid, key,
+        )
+        return out[:4], out[4]
+
+    state = (params, opt_state, emb, emb_opt_state)
+    for _ in range(WARMUP_EPOCHS):
+        state, metrics = run_epoch(state)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_EPOCHS):
+        state, metrics = run_epoch(state)
+    jax.block_until_ready(state)
+    epoch_ms = (time.perf_counter() - t0) / TIMED_EPOCHS * 1000.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_epoch_flagship",
+                "value": round(epoch_ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(REF_EPOCH_MS / epoch_ms, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

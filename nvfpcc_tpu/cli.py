@@ -1,0 +1,244 @@
+"""Command-line driver: ``grids | train | encode | decode``.
+
+Workflow parity with the reference CLI surface (``NVFPCC.py:654-755`` plus the
+preprocessing CLIs ``get_octree`` / ``util_get_grids.py``), collapsed into one
+entry point:
+
+    python -m nvfpcc_tpu.cli grids  cloud.ply --depth 10 --level 5
+    python -m nvfpcc_tpu.cli train  cloud.ply --epochs 501 --checkpoint_dir ckpts
+    python -m nvfpcc_tpu.cli encode cloud.ply --load_checkpoint ckpts \
+        --pack_fn pack.pk --recon rc_enc.ply
+    python -m nvfpcc_tpu.cli decode pack.pk --recon rc_dec.ply
+
+The reference needs three separate preprocessing steps (C++ octree, origins
+txt→npy, KD-tree grids); here ``grids`` builds and caches all artifacts in one
+``.npz`` next to the cloud, and ``train``/``encode`` build it on demand.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def artifact_path(cloud: str, depth: int, level: int) -> str:
+    stem, _ = os.path.splitext(cloud)
+    return f"{stem}_d{depth}_l{level}_grids.npz"
+
+
+def load_or_build_artifacts(cloud: str, depth: int, level: int, log=print) -> dict:
+    """origins/gt/dist for a cloud, cached as one npz (reference's three .npy
+    files, ``util_get_grids.py:16-46``)."""
+    from nvfpcc_tpu.grids.builder import build_artifacts
+    from nvfpcc_tpu.io.ply import read_ply_points
+
+    path = artifact_path(cloud, depth, level)
+    if os.path.exists(path) and os.path.getmtime(path) >= os.path.getmtime(cloud):
+        data = np.load(path)
+        return {k: data[k] for k in ("origins", "gt", "dist")}
+    t0 = time.time()
+    points = np.rint(read_ply_points(cloud)).astype(np.int64)
+    if points.min() < 0 or points.max() >= (1 << depth):
+        raise SystemExit(f"cloud exceeds the 2^{depth} cube: [{points.min()}, {points.max()}]")
+    origins, gt, dist = build_artifacts(points, depth, level)
+    np.savez_compressed(path, origins=origins, gt=gt, dist=dist)
+    log(
+        f"[grids] {len(points)} pts -> {len(origins)} blocks of "
+        f"{1 << (depth - level)}^3 in {time.time() - t0:.1f}s -> {path}"
+    )
+    return {"origins": origins, "gt": gt, "dist": dist}
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--depth", type=int, default=10, help="voxel depth (vox10 -> 10)")
+    p.add_argument("--level", type=int, default=5, help="octree partition level")
+    p.add_argument(
+        "--platform",
+        choices=("default", "cpu"),
+        default="default",
+        help="pin all compute to a backend (cpu: robust/no-TPU path for small jobs)",
+    )
+
+
+def _apply_platform(args) -> None:
+    if getattr(args, "platform", "default") == "cpu":
+        import jax
+
+        jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
+
+
+def _add_model(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--ch", type=int, default=3, help="latent channels")
+    p.add_argument("--chanstr", type=str, default="8,16,8,8", help="decoder channels")
+
+
+def _model_cfg(args):
+    from nvfpcc_tpu.config import ModelConfig
+
+    return ModelConfig(ch=args.ch, chanstr=args.chanstr)
+
+
+def cmd_grids(args) -> int:
+    load_or_build_artifacts(args.cloud, args.depth, args.level)
+    return 0
+
+
+def cmd_train(args) -> int:
+    from nvfpcc_tpu.config import TrainConfig
+    from nvfpcc_tpu.train.loop import train
+
+    _apply_platform(args)
+    art = load_or_build_artifacts(args.cloud, args.depth, args.level)
+    cfg = TrainConfig(
+        lmbda=args.lmbda,
+        w1=args.w1,
+        w2=args.w2,
+        wemb=args.wemb,
+        lr=args.lr,
+        batch_size=args.batchsize,
+        epochs=args.epochs,
+        phase_change=args.phase_change,
+        shuffle=args.shuffle,
+        eval_every=args.eval_every,
+        seed=args.seed,
+    )
+    mesh = None
+    if args.mesh:
+        from nvfpcc_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"[train] block-DP mesh over {mesh.devices.size} devices")
+    train(
+        art["gt"], art["dist"], _model_cfg(args), cfg,
+        checkpoint_dir=args.checkpoint_dir, mesh=mesh,
+    )
+    return 0
+
+
+def _load_train_state(args, n_blocks: int):
+    from nvfpcc_tpu.utils import checkpoint as C
+
+    path = args.load_checkpoint
+    if os.path.isdir(path):
+        path = C.latest_checkpoint(path)
+        if path is None:
+            raise SystemExit(f"no checkpoints in {args.load_checkpoint}")
+    params, emb = C.load_checkpoint(path)
+    if emb is None or emb.shape[0] < n_blocks:
+        raise SystemExit(f"checkpoint {path} has no/short embeddings")
+    return params, emb[:n_blocks]
+
+
+def cmd_encode(args) -> int:
+    from nvfpcc_tpu import codec
+    from nvfpcc_tpu.config import CodecConfig
+    from nvfpcc_tpu.io.ply import write_ply_points
+
+    _apply_platform(args)
+    art = load_or_build_artifacts(args.cloud, args.depth, args.level)
+    n_blocks = len(art["origins"])
+    n_points = int(art["gt"].sum())
+    params, emb = _load_train_state(args, n_blocks)
+    ccfg = CodecConfig(
+        thh_encode=args.thh, thh_decode=args.thh, qp=args.qp,
+        depth=args.depth, level=args.level,
+    )
+    result = codec.encode(
+        params, emb, art["origins"], _model_cfg(args), ccfg, n_points
+    )
+    size = codec.save_pack(args.pack_fn, result.pack)
+    s = result.stats
+    print(
+        f"[encode] {s['n_blocks']} blocks, {s['n_points_src']} pts -> "
+        f"{size} B pack | bpp {s['bpp']:.4f} "
+        f"(latent {s['b_latent']:.4f} net {s['b_net']:.4f} origins {s['b_origins']:.4f}) "
+        f"| recon {s['n_points_rec']} pts"
+    )
+    if args.recon:
+        write_ply_points(args.recon, result.points)
+        print(f"[encode] wrote {args.recon}")
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from nvfpcc_tpu import codec
+    from nvfpcc_tpu.io.ply import write_ply_points
+
+    _apply_platform(args)
+    pack = codec.load_pack(args.pack)
+    if args.thh is not None:
+        pack["codec"]["thh"] = args.thh
+    t0 = time.time()
+    points, info = codec.decode(pack)
+    print(
+        f"[decode] {info['n_blocks']} blocks -> {info['n_points_rec']} pts "
+        f"@ thh {info['thh']} in {time.time() - t0:.1f}s"
+    )
+    if args.recon:
+        write_ply_points(args.recon, points)
+        print(f"[decode] wrote {args.recon}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="nvfpcc_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("grids", help="build origins + occupancy/distance grids")
+    g.add_argument("cloud")
+    _add_common(g)
+    g.set_defaults(fn=cmd_grids)
+
+    t = sub.add_parser("train", help="overfit the codec to one cloud")
+    t.add_argument("cloud")
+    _add_common(t)
+    _add_model(t)
+    t.add_argument("--lambda", dest="lmbda", type=float, default=200.0)
+    t.add_argument("--w1", type=float, default=10.0)
+    t.add_argument("--w2", type=float, default=57.0)
+    t.add_argument("--wemb", type=float, default=5.0)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--batchsize", type=int, default=16)
+    t.add_argument("--epochs", type=int, default=501)
+    t.add_argument("--phase_change", type=int, default=100)
+    t.add_argument("--shuffle", choices=("stride", "random", "none"), default="stride")
+    t.add_argument("--eval_every", type=int, default=10)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--checkpoint_dir", type=str, default="ckpts")
+    t.add_argument("--mesh", action="store_true", help="block-DP over all devices")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("encode", help="pack weights+latents+origins -> pack.pk")
+    e.add_argument("cloud")
+    _add_common(e)
+    _add_model(e)
+    e.add_argument("--load_checkpoint", required=True, help="ckpt file or dir")
+    e.add_argument("--pack_fn", type=str, default="pack.pk")
+    e.add_argument("--recon", type=str, default=None, help="write rc_enc.ply here")
+    e.add_argument("--thh", type=float, default=0.65)
+    e.add_argument("--qp", type=int, default=16)
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode", help="pack.pk -> reconstructed cloud")
+    d.add_argument("pack")
+    d.add_argument("--recon", type=str, default="rc_dec.ply")
+    d.add_argument("--thh", type=float, default=None, help="override pack threshold")
+    d.add_argument("--platform", choices=("default", "cpu"), default="default")
+    d.set_defaults(fn=cmd_decode)
+    return ap
+
+
+def main(argv=None) -> int:
+    from nvfpcc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

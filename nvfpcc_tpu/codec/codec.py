@@ -1,0 +1,207 @@
+"""Encode/decode orchestration + the ``pack.pk`` bitstream container.
+
+Capability rebuild of the reference codec driver (``NVFPCC.py:395-554``
+``encode``, ``:557-652`` ``decode``): the transmitted artifact is a pickled
+dict with three payloads — entropy-packed decoder weights, raw int16 block
+origins, range-coded latents — plus enough model metadata to rebuild the
+(seeded-init) decoder with no side files.
+
+Fidelity gate: encoder and decoder run the *identical* reconstruction program
+(quantized weights + integer latents through :func:`reconstruct_all`), so
+``rc_enc.ply == rc_dec.ply`` exactly (reference ``README.md:63``; shared path
+``NVFPCC.py:496-554`` vs ``:620-650``). All quantization (weights to the 1/qp
+grid, latents to integers) happens on host before either side runs, so parity
+does not depend on device float quirks.
+
+TPU-first departures from the reference:
+- reconstruction is batched over blocks through one jitted forward (the
+  reference loops blocks with B=1, ``NVFPCC.py:613-638``),
+- thresholding + point extraction is a dense compare + ``argwhere`` (drops
+  the MinkowskiEngine sparse/prune dependency, ``NVFPCC.py:421-430``),
+- the decoder params pytree is decode-minimal (no aux heads); the latent
+  entropy model's (sigma, mu) travel in the latent pack as exact f32.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nvfpcc_tpu.codec import weights as W
+from nvfpcc_tpu.coder import range_coder as RC
+from nvfpcc_tpu.config import CodecConfig, ModelConfig
+from nvfpcc_tpu.models import decoder as M
+
+PACK_FORMAT_VERSION = 1
+
+
+@dataclass
+class EncodeResult:
+    pack: dict
+    points: np.ndarray  # reconstructed points (M, 3) int64
+    stats: dict  # bpp split etc.
+
+
+def reconstruct_all(
+    spec: M.ModelSpec,
+    params: dict,
+    latents: np.ndarray,
+    batch: int = 128,
+) -> np.ndarray:
+    """Occupancy grids (N, B, B, B) f32 for all blocks, batched through one
+    jitted decode forward (pad-to-fixed-batch so XLA compiles once)."""
+    n = latents.shape[0]
+    batch = min(batch, max(n, 1))
+    fn = jax.jit(lambda p, l: M.reconstruct(spec, p, l, q=2))
+    outs = []
+    for i in range(0, n, batch):
+        chunk = latents[i : i + batch]
+        pad = batch - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)]
+            )
+        out = np.asarray(fn(params, jnp.asarray(chunk, jnp.float32)))
+        outs.append(out[: batch - pad] if pad else out)
+    occ = np.concatenate(outs) if outs else np.zeros((0, 32, 32, 32, 1), np.float32)
+    return occ[..., 0]
+
+
+def extract_points(
+    occ: np.ndarray, origins: np.ndarray, thh: float
+) -> np.ndarray:
+    """Threshold occupancy grids and emit global voxel coordinates
+    (reference's ME-sparse + prune + ``coords + origin``, ``NVFPCC.py:511-539``).
+
+    Deterministic order: blocks in origin order, voxels in C order within a
+    block — identical on encode and decode."""
+    idx = np.argwhere(occ > thh)  # (M, 4): block, x, y, z — C-order sorted
+    if len(idx) == 0:
+        return np.zeros((0, 3), np.int64)
+    return idx[:, 1:].astype(np.int64) + np.asarray(origins, np.int64)[idx[:, 0]]
+
+
+def encode(
+    params: dict,
+    emb: np.ndarray,
+    origins: np.ndarray,
+    model_cfg: ModelConfig,
+    codec_cfg: CodecConfig,
+    n_points_src: int,
+    spec: Optional[M.ModelSpec] = None,
+) -> EncodeResult:
+    """Produce the pack + the encoder-side reconstruction
+    (reference ``encode()``, ``NVFPCC.py:395-554``)."""
+    if spec is None:
+        spec = M.build_model_spec(model_cfg.ch, model_cfg.channels, model_cfg.seed_tag)
+
+    # [WEIGHTS] quantize to the 1/qp grid, entropy-pack (NVFPCC.py:409-410)
+    qparams = W.quantize_residuals(params, codec_cfg.qp)
+    net_weight_pack = W.pack_weights(qparams, codec_cfg.qp)
+
+    # [LATENTS] integer latents + per-channel Gaussian range coding
+    # (NVFPCC.py:444-477); round-trip asserted inside encode_latents.
+    code = jax.jit(lambda p, e: M.get_latent_code(spec, p, e))(
+        qparams, jnp.asarray(emb, jnp.float32)
+    )
+    lat_int = np.rint(np.asarray(code["quantized_latent"], np.float64)).astype(np.int64)
+    latent_pack = RC.encode_latents(
+        lat_int, np.asarray(code["sigma"]), np.asarray(code["mu"])
+    )
+
+    # [ORIGINS] raw int16 (NVFPCC.py:436-439)
+    origins16 = np.asarray(origins, np.int16)
+    if not np.array_equal(origins16.astype(np.int64), np.asarray(origins, np.int64)):
+        raise ValueError("origins exceed int16 range")
+
+    pack = {
+        "format_version": PACK_FORMAT_VERSION,
+        "model": {
+            "ch": model_cfg.ch,
+            "chanstr": model_cfg.chanstr,
+            "seed_tag": model_cfg.seed_tag,
+        },
+        "codec": {
+            # the decode threshold; the encoder reconstructs at the same value
+            # so rc_enc == rc_dec holds by construction. (The reference README
+            # uses asymmetric 0.65/0.64 defaults — a quirk we do not keep;
+            # pass a different thh to decode() explicitly to reproduce it.)
+            "thh": float(codec_cfg.thh_encode),
+            "qp": int(codec_cfg.qp),
+            "depth": int(codec_cfg.depth),
+            "level": int(codec_cfg.level),
+            "n_points_src": int(n_points_src),
+        },
+        "net_weight_pack": net_weight_pack,
+        "origins": origins16,
+        "latent_pack": latent_pack,
+    }
+
+    # Encoder-side reconstruction with the exact decode inputs AND the exact
+    # decode params pytree (its own unpacked weight pack): encode and decode
+    # trace byte-identical XLA programs, so they share one compilation-cache
+    # entry and parity cannot drift.
+    latents = (lat_int).astype(np.float32)
+    occ = reconstruct_all(spec, W.unpack_weights(net_weight_pack), latents)
+    points = extract_points(occ, origins, codec_cfg.thh_encode)
+
+    coded_w, as_is_w = W.weight_pack_bits(net_weight_pack)
+    latent_bits = 8 * len(latent_pack["stream"]) + 2 * model_cfg.ch * 32
+    origin_bits = origins16.size * 16
+    total_bits = coded_w + as_is_w + latent_bits + origin_bits
+    stats = {
+        "n_blocks": int(len(origins)),
+        "n_points_src": int(n_points_src),
+        "n_points_rec": int(len(points)),
+        "b_net": (coded_w + as_is_w) / n_points_src,
+        "b_latent": latent_bits / n_points_src,
+        "b_origins": origin_bits / n_points_src,
+        "bpp": total_bits / n_points_src,
+        "latent_stream_bytes": len(latent_pack["stream"]),
+        "weight_stream_bytes": len(net_weight_pack["bit_stream"]),
+    }
+    return EncodeResult(pack=pack, points=points, stats=stats)
+
+
+def decode(pack: dict) -> Tuple[np.ndarray, dict]:
+    """Pure bitstream -> points (reference ``decode()``, ``NVFPCC.py:557-652``).
+
+    Touches neither the dataset nor the latent generator; rebuilds the seeded
+    decoder from the pack's model metadata alone."""
+    if pack.get("format_version") != PACK_FORMAT_VERSION:
+        raise ValueError(f"unsupported pack format: {pack.get('format_version')}")
+    mc = pack["model"]
+    model_cfg = ModelConfig(ch=int(mc["ch"]), chanstr=mc["chanstr"], seed_tag=mc["seed_tag"])
+    spec = M.build_model_spec(model_cfg.ch, model_cfg.channels, model_cfg.seed_tag)
+
+    params = W.unpack_weights(pack["net_weight_pack"])
+    latents = RC.decode_latents(pack["latent_pack"])
+    origins = np.asarray(pack["origins"], np.int64)
+
+    occ = reconstruct_all(spec, params, latents)
+    points = extract_points(occ, origins, float(pack["codec"]["thh"]))
+    info = {
+        "n_blocks": int(len(origins)),
+        "n_points_rec": int(len(points)),
+        "thh": float(pack["codec"]["thh"]),
+    }
+    return points, info
+
+
+def save_pack(path: str, pack: dict) -> int:
+    """Pickle the pack (reference ``pack.pk``, ``NVFPCC.py:486-493``).
+    Returns the file size in bytes."""
+    with open(path, "wb") as f:
+        pickle.dump(pack, f, protocol=4)
+    return os.path.getsize(path)
+
+
+def load_pack(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)

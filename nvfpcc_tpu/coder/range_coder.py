@@ -1,0 +1,274 @@
+"""Host range coder over integer Gaussian CDF tables (ctypes → native C++).
+
+Role parity with the reference's arithmetic coder pipeline
+(``/root/reference/module_arithmeticcoding.cpp`` driven by subprocess at
+``NVFPCC.py:459-477,587-607``): entropy-code the rounded latent symbols under
+per-channel Gaussian models, with bit-exact encode/decode reciprocity.
+
+Determinism design (stronger than the reference's): the reference evaluates
+float ``erf()`` CDFs inside the coder on both ends and masks float mantissas so
+the two evaluations agree (``set_FL_MASK``, ``module_arithmeticcoding.cpp:93-113``).
+Here all float math happens exactly once, in :func:`build_cum_tables` on the
+host, from the float32 sigma/mu that ship in the pack; the native coder
+consumes only integer cumulative-frequency tables, so encoder and decoder
+agree by construction — no mantissa masking needed, and no float ops anywhere
+near the bitstream.
+
+Symbols are latent integers offset by ``OFFSET`` into ``[0, N_SYM)`` (the
+reference uses the same +512 offset and a 1025-symbol alphabet,
+``NVFPCC.py:447-468``). One table per latent channel; the per-symbol table id
+stream is just ``channel_of(symbol_position)``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import math
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+N_SYM = 1025  # alphabet size (latents +512, matching the reference's range)
+OFFSET = 512
+TOTAL = 1 << 20  # shared cumulative-frequency total for every table
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libnvfpcc_rc.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _load_lib() -> ctypes.CDLL:
+    """Load (building on first use) the native coder shared library."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        src = os.path.join(_NATIVE_DIR, "range_coder.cpp")
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        ):
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "all"],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.nvfpcc_rc_encode.restype = ctypes.c_long
+        lib.nvfpcc_rc_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),  # symbols
+            ctypes.POINTER(ctypes.c_int32),  # table_ids
+            ctypes.c_long,  # n
+            ctypes.POINTER(ctypes.c_uint32),  # cum
+            ctypes.c_int,  # ntab
+            ctypes.c_int,  # tabsize
+            ctypes.POINTER(ctypes.c_uint8),  # out
+            ctypes.c_long,  # out_capacity
+        ]
+        lib.nvfpcc_rc_decode.restype = ctypes.c_long
+        lib.nvfpcc_rc_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),  # in
+            ctypes.c_long,  # in_len
+            ctypes.POINTER(ctypes.c_int32),  # table_ids
+            ctypes.c_long,  # n
+            ctypes.POINTER(ctypes.c_uint32),  # cum
+            ctypes.c_int,  # ntab
+            ctypes.c_int,  # tabsize
+            ctypes.POINTER(ctypes.c_int32),  # out_symbols
+        ]
+        _lib = lib
+        return _lib
+
+
+def _norm_cdf(z: np.ndarray) -> np.ndarray:
+    return 0.5 * (1.0 + np.asarray([math.erf(v / math.sqrt(2.0)) for v in z.ravel()])).reshape(
+        z.shape
+    )
+
+
+def build_cum_tables(
+    sigma: np.ndarray,
+    mu: np.ndarray,
+    n_sym: int = N_SYM,
+    offset: int = OFFSET,
+    total: int = TOTAL,
+) -> np.ndarray:
+    """Integer cumulative-frequency tables from per-table Gaussian (sigma, mu).
+
+    ``sigma``/``mu`` are float32 arrays of shape (ntab,) in *symbol* space
+    (i.e. already offset; callers pass ``mu + offset``). Returns uint32
+    ``(ntab, n_sym + 1)`` with ``cum[:, 0] == 0`` and ``cum[:, -1] == total``.
+    Every symbol gets frequency >= 1 so any symbol stays decodable (the
+    reference guarantees the same with its frequency floor,
+    ``module_arithmeticcoding.cpp:150-170``).
+
+    All math is float64 from float32 inputs — deterministic across hosts; the
+    coder itself never sees a float.
+    """
+    sigma = np.asarray(sigma, np.float32).astype(np.float64).reshape(-1)
+    mu = np.asarray(mu, np.float32).astype(np.float64).reshape(-1)
+    ntab = len(sigma)
+    sigma = np.maximum(sigma, 1e-9)
+
+    edges = np.arange(n_sym + 1, dtype=np.float64) - 0.5  # bin edges in symbol space
+    z = (edges[None, :] - mu[:, None]) / sigma[:, None]
+    cdf = _norm_cdf(z)
+    pdf = np.diff(cdf, axis=1)
+    pdf = pdf / np.maximum(pdf.sum(axis=1, keepdims=True), 1e-300)
+
+    # Integerize: floor(p * (total - n_sym)) + 1 per symbol, then give the
+    # remainder to the largest bins (deterministic argsort tie-break).
+    budget = total - n_sym
+    scaled = pdf * budget
+    freqs = np.floor(scaled).astype(np.int64) + 1
+    short = total - freqs.sum(axis=1)
+    assert np.all(short >= 0)
+    frac = scaled - np.floor(scaled)
+    for t in range(ntab):
+        k = int(short[t])
+        if k > 0:
+            # k can exceed n_sym when the Gaussian mass falls outside the
+            # window (degenerate sigma/mu): spread evenly, then top up the
+            # largest fractional bins.
+            base, rem = divmod(k, n_sym)
+            freqs[t] += base
+            if rem:
+                order = np.lexsort((np.arange(n_sym), -frac[t]))
+                freqs[t, order[:rem]] += 1
+    cum = np.zeros((ntab, n_sym + 1), np.uint32)
+    cum[:, 1:] = np.cumsum(freqs, axis=1).astype(np.uint32)
+    assert np.all(cum[:, -1] == total)
+    return cum
+
+
+def encode(symbols: np.ndarray, table_ids: np.ndarray, cum: np.ndarray) -> bytes:
+    """Range-encode ``symbols`` (int, in [0, n_sym)) under per-symbol tables."""
+    lib = _load_lib()
+    symbols = np.ascontiguousarray(symbols, np.int32).reshape(-1)
+    table_ids = np.ascontiguousarray(table_ids, np.int32).reshape(-1)
+    if symbols.shape != table_ids.shape:
+        raise ValueError("symbols and table_ids must have the same length")
+    cum = np.ascontiguousarray(cum, np.uint32)
+    ntab, tabsize = cum.shape
+    # worst case: every symbol at the frequency floor -> log2(total) bits/sym
+    cap = 16 + len(symbols) * (int(math.ceil(math.log2(cum[0, -1]))) // 8 + 2)
+    out = np.empty(cap, np.uint8)
+    n = lib.nvfpcc_rc_encode(
+        symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        table_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(symbols),
+        cum.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ntab,
+        tabsize,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if n < 0:
+        raise ValueError("range encode failed (bad symbol/table input)")
+    return out[:n].tobytes()
+
+
+def decode(stream: bytes, table_ids: np.ndarray, cum: np.ndarray) -> np.ndarray:
+    """Decode ``len(table_ids)`` symbols from the stream. Returns int32."""
+    lib = _load_lib()
+    table_ids = np.ascontiguousarray(table_ids, np.int32).reshape(-1)
+    cum = np.ascontiguousarray(cum, np.uint32)
+    ntab, tabsize = cum.shape
+    buf = np.frombuffer(stream, np.uint8)
+    buf = np.ascontiguousarray(buf)
+    out = np.empty(len(table_ids), np.int32)
+    n = lib.nvfpcc_rc_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(buf),
+        table_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(table_ids),
+        cum.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ntab,
+        tabsize,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if n != len(table_ids):
+        raise ValueError("range decode failed")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# latent-level convenience API (what the codec layer uses)
+# ---------------------------------------------------------------------------
+
+
+def encode_latents(latents: np.ndarray, sigma: np.ndarray, mu: np.ndarray) -> dict:
+    """Encode integer latents (N, 2, 2, 2, ch) under per-channel Gaussians.
+
+    Mirrors the reference's latent serialization (``NVFPCC.py:444-477``): each
+    channel has one (sigma, mu); symbols are latent + OFFSET. Returns the
+    latent pack dict (stream + the exact f32 model params needed to decode).
+    """
+    latents = np.asarray(latents)
+    ch = latents.shape[-1]
+    ints = np.rint(latents).astype(np.int64)
+    symbols = ints + OFFSET
+    if symbols.min() < 0 or symbols.max() >= N_SYM:
+        raise ValueError(
+            f"latent out of codable range [-{OFFSET}, {N_SYM - OFFSET}): "
+            f"[{ints.min()}, {ints.max()}]"
+        )
+    sigma32 = np.asarray(sigma, np.float32).reshape(ch)
+    mu32 = np.asarray(mu, np.float32).reshape(ch)
+    cum = build_cum_tables(sigma32, mu32 + OFFSET)
+    table_ids = np.broadcast_to(
+        np.arange(ch, dtype=np.int32), latents.shape
+    ).reshape(-1)
+    stream = encode(symbols.reshape(-1), table_ids, cum)
+    # reciprocity self-check, as the reference asserts at encode (NVFPCC.py:466-470)
+    rt = decode(stream, table_ids, cum)
+    assert np.array_equal(rt, symbols.reshape(-1)), "range coder round-trip failed"
+    return {
+        "stream": stream,
+        "sigma": sigma32,
+        "mu": mu32,
+        "shape": tuple(latents.shape),
+    }
+
+
+def decode_latents(pack: dict) -> np.ndarray:
+    """Inverse of :func:`encode_latents`. Returns float32 latents."""
+    shape = tuple(pack["shape"])
+    ch = shape[-1]
+    sigma32 = np.asarray(pack["sigma"], np.float32).reshape(ch)
+    mu32 = np.asarray(pack["mu"], np.float32).reshape(ch)
+    cum = build_cum_tables(sigma32, mu32 + OFFSET)
+    n = int(np.prod(shape))
+    table_ids = np.broadcast_to(np.arange(ch, dtype=np.int32), shape).reshape(-1)
+    symbols = decode(pack["stream"], table_ids[:n], cum)
+    return (symbols.astype(np.int64) - OFFSET).astype(np.float32).reshape(shape)
+
+
+def _selftest() -> None:
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        ch = int(rng.integers(1, 6))
+        n = int(rng.integers(1, 64))
+        sigma = rng.uniform(0.05, 30.0, ch).astype(np.float32)
+        mu = rng.uniform(-5, 5, ch).astype(np.float32)
+        lat = np.clip(
+            rng.normal(mu, sigma * 3, (n, 2, 2, 2, ch)), -OFFSET, N_SYM - OFFSET - 1
+        )
+        lat = np.rint(lat).astype(np.float32)
+        pack = encode_latents(lat, sigma, mu)
+        out = decode_latents(pack)
+        assert np.array_equal(out, lat), f"trial {trial} mismatch"
+        bits = 8 * len(pack["stream"])
+        print(f"trial {trial}: {lat.size} syms -> {bits} bits ({bits / lat.size:.2f} b/sym)")
+    print("range coder selftest OK")
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--selftest" in sys.argv:
+        _selftest()

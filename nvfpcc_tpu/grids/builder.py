@@ -17,6 +17,7 @@ per-block crops are gathered back. Distances match the KD-tree values exactly
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -32,16 +33,43 @@ def _block_radius(block: int) -> int:
     return int(math.ceil(math.sqrt(3.0) * (block - 1))) + 1
 
 
+@partial(jax.jit, static_argnames=("dims", "block", "radius"))
+def _grids_kernel(rel_pts, rel_origins, dims, block, radius):
+    """Scatter + EDT + per-block crops as ONE program: a single device
+    dispatch (the axon TPU tunnel charges per eager op round-trip)."""
+    occ = jnp.zeros(dims, jnp.bool_)
+    occ = occ.at[rel_pts[:, 0], rel_pts[:, 1], rel_pts[:, 2]].set(True)
+    sq = squared_edt_3d(occ, radius)
+
+    def crop(o):
+        start = (o[0], o[1], o[2])
+        return (
+            jax.lax.dynamic_slice(occ, start, (block,) * 3),
+            jax.lax.dynamic_slice(sq, start, (block,) * 3),
+        )
+
+    occ_b, sq_b = jax.vmap(crop)(rel_origins)
+    return occ_b.astype(jnp.uint8), jnp.sqrt(sq_b.astype(jnp.float32))
+
+
 def build_block_grids(
     points: np.ndarray,
     origins: np.ndarray,
     block: int = 32,
     radius: int | None = None,
+    platform: str | None = "cpu",
 ):
     """Build (gt_grid uint8 (N,B,B,B), dist float32 (N,B,B,B)).
 
     ``points``: (P, 3) integer voxel coordinates. ``origins``: (N, 3) block
     origins (multiples of ``block``).
+
+    ``platform``: backend for the one-shot preprocessing program. Default
+    "cpu": the grid dims change per cloud, so every cloud is a fresh XLA
+    compile, and a TPU compile through the axon tunnel costs 60-90 s vs
+    seconds on host while the execution itself is ~1 s either way. Pass
+    ``None`` to use the ambient default device (e.g. for vox11-scale grids
+    where host execution would dominate).
     """
     pts = np.asarray(points, dtype=np.int64)
     orgs = np.asarray(origins, dtype=np.int64)
@@ -55,33 +83,31 @@ def build_block_grids(
     dims = hi - lo
     dims = ((dims + _ALIGN - 1) // _ALIGN) * _ALIGN
 
-    rel = pts - lo
-    occ = jnp.zeros(tuple(int(d) for d in dims), jnp.bool_)
-    occ = occ.at[tuple(jnp.asarray(rel.T))].set(True)
+    def run():
+        # inputs must be created under the target device context — a
+        # committed-to-TPU input would drag the jit back onto the TPU
+        return _grids_kernel(
+            jnp.asarray(pts - lo, jnp.int32),
+            jnp.asarray(orgs - lo, jnp.int32),
+            tuple(int(d) for d in dims),
+            int(block),
+            int(radius),
+        )
 
-    sq = squared_edt_3d(occ, radius)
-
-    # Gather per-block crops with a vmapped dynamic_slice.
-    rel_origins = jnp.asarray(orgs - lo, jnp.int32)
-
-    def crop(grid, o):
-        return jax.lax.dynamic_slice(grid, (o[0], o[1], o[2]), (block, block, block))
-
-    crop_all = jax.jit(jax.vmap(crop, in_axes=(None, 0)))
-    sq_blocks = crop_all(sq, rel_origins)
-    occ_blocks = crop_all(occ, rel_origins)
-
-    dist = np.sqrt(np.asarray(sq_blocks, dtype=np.float32))
-    gt = np.asarray(occ_blocks).astype(np.uint8)
-    return gt, dist
+    if platform is None:
+        gt, dist = run()
+    else:
+        with jax.default_device(jax.local_devices(backend=platform)[0]):
+            gt, dist = run()
+    return np.asarray(gt), np.asarray(dist)
 
 
-def build_artifacts(points, depth: int = 10, level: int = 5):
+def build_artifacts(points, depth: int = 10, level: int = 5, platform: str | None = "cpu"):
     """Full preprocessing: origins + gt + dist (the reference's three .npy
     artifacts, ``util_get_grids.py:16-46``)."""
     from nvfpcc_tpu.octree.partition import leaf_origins
 
     block = 1 << (depth - level)
     origins = leaf_origins(points, depth, level)
-    gt, dist = build_block_grids(points, origins, block)
+    gt, dist = build_block_grids(points, origins, block, platform=platform)
     return origins, gt, dist

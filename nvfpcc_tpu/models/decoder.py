@@ -178,10 +178,17 @@ def decoder_apply(
     latent: jnp.ndarray,
     q: int,
     key: Optional[jax.Array] = None,
+    aux: bool = True,
 ):
     """CompDecoder forward (reference ``utils/network.py:4758-4779``).
 
     Returns ``(occupancy (B,32,32,32,1), cls_list [8^3, 16^3, 32^3], net_bits (7,))``.
+
+    With ``aux=False`` (the decode-only path) the training-only heads and the
+    weight-rate model are skipped, so the params pytree may omit
+    ``conv0_cls``/``conv1_cls``/``wrate`` — the transmitted pack carries only
+    what reconstruction needs (the reference instead ships its aux params in
+    the fp32 as-is pool and loads ``strict=False``, ``NVFPCC.py:577-583``).
     """
     if latent.ndim != 5 or latent.shape[1:] != (2, 2, 2, spec.ch):
         raise ValueError(
@@ -198,15 +205,25 @@ def decoder_apply(
     out = qc.qconv_transpose3d(spec.specs["up0"], dp["up0"], latent, q, kk["up0"])
     out = gdn.igdn_apply(dp["igdn"], out)
     out = relu(qc.qconv_transpose3d(spec.specs["conv0"], dp["conv0"], out, q, kk["conv0"]))
-    cls0 = jax.nn.sigmoid(qc.iconv3d(spec.specs["conv0_cls"], dp["conv0_cls"], out))
+    cls0 = (
+        jax.nn.sigmoid(qc.iconv3d(spec.specs["conv0_cls"], dp["conv0_cls"], out))
+        if aux
+        else None
+    )
     out = relu(qc.qconv_transpose3d(spec.specs["up1"], dp["up1"], out, q, kk["up1"]))
     out = relu(qc.qconv3d(spec.specs["conv1"], dp["conv1"], out, q, kk["conv1"]))
-    cls1 = jax.nn.sigmoid(qc.iconv3d(spec.specs["conv1_cls"], dp["conv1_cls"], out))
+    cls1 = (
+        jax.nn.sigmoid(qc.iconv3d(spec.specs["conv1_cls"], dp["conv1_cls"], out))
+        if aux
+        else None
+    )
     out = relu(qc.qconv_transpose3d(spec.specs["up2"], dp["up2"], out, q, kk["up2"]))
     out = relu(qc.qconv3d(spec.specs["conv2"], dp["conv2"], out, q, kk["conv2"]))
     out = qc.qconv3d(spec.specs["conv2_cls"], dp["conv2_cls"], out, q, kk["conv2_cls"])
     out = jax.nn.sigmoid(out)
 
+    if not aux:
+        return out, [None, None, out], jnp.zeros((len(TRANSMITTED_KERNELS),), jnp.float32)
     net_bits = jnp.stack(
         [
             rate.scalar_gaussian_rate(dp["wrate"], bypass_round16(dp[n]["kernel"]))
@@ -242,8 +259,10 @@ def net_apply(
 
 
 def reconstruct(spec: ModelSpec, params: dict, latent: jnp.ndarray, q: int = 2):
-    """Decode-only path (reference ``Net.reconstruct``, ``NVFPCC.py:47-49``)."""
-    out, _, _ = decoder_apply(spec, params, latent, q)
+    """Decode-only path (reference ``Net.reconstruct``, ``NVFPCC.py:47-49``).
+
+    Works with the decode-minimal params pytree (no aux heads / wrate)."""
+    out, _, _ = decoder_apply(spec, params, latent, q, aux=False)
     return out
 
 

@@ -172,15 +172,17 @@ def make_epoch_fn(
             n_total_pts, "train", q, key,
         )
 
-    def emb_loss(emb, params, gt, dist, key):
+    def emb_loss(emb, params, gt, dist, block_valid, key):
         loss, _ = rd_loss(
-            spec, cfg, jax.lax.stop_gradient(params), emb, gt, dist, None,
+            spec, cfg, jax.lax.stop_gradient(params), emb, gt, dist, block_valid,
             n_total_pts, "train", q, key,
         )
         return loss
 
     @jax.jit
-    def epoch_fn(params, opt_state, emb, emb_opt_state, gt, dist, idx, mask, key):
+    def epoch_fn(
+        params, opt_state, emb, emb_opt_state, gt, dist, idx, mask, block_valid, key
+    ):
         n_batches = idx.shape[0]
         keys = jax.random.split(key, n_batches + 1)
 
@@ -202,7 +204,7 @@ def make_epoch_fn(
         )
 
         # full-set embedding update (reference NVFPCC.py:225-251)
-        emb_grads = jax.grad(emb_loss)(emb, params, gt, dist, keys[-1])
+        emb_grads = jax.grad(emb_loss)(emb, params, gt, dist, block_valid, keys[-1])
         emb_updates, emb_opt_state = emb_opt.update(emb_grads, emb_opt_state, emb)
         emb = optax.apply_updates(emb, emb_updates)
 
@@ -215,9 +217,9 @@ def make_eval_fn(spec: M.ModelSpec, cfg: TrainConfig, n_total_pts: float):
     """Full-set eval at q=2 rounded latents (reference ``NVFPCC.py:308-364``)."""
 
     @jax.jit
-    def eval_fn(params, emb, gt, dist):
+    def eval_fn(params, emb, gt, dist, block_valid):
         _, metrics = rd_loss(
-            spec, cfg, params, emb, gt, dist, None, n_total_pts, "eval", 2, None
+            spec, cfg, params, emb, gt, dist, block_valid, n_total_pts, "eval", 2, None
         )
         return metrics
 
@@ -258,8 +260,26 @@ def train(
     n_blocks = int(gt.shape[0])
     n_total_pts = float(gt.sum())
     spec = M.build_model_spec(model_cfg.ch, model_cfg.channels, model_cfg.seed_tag)
+
+    # With a mesh, pad the block axis to a multiple of the mesh size (GSPMD
+    # needs even shards); padding rows are masked out of every loss term via
+    # block_valid.
+    if mesh is not None:
+        from nvfpcc_tpu.parallel import mesh as pm
+
+        n_padded = pm.padded_block_count(n_blocks, mesh)
+        gt = pm.pad_blocks(np.asarray(gt), n_padded)
+        dist = pm.pad_blocks(np.asarray(dist), n_padded)
+    else:
+        n_padded = n_blocks
+    block_valid = jnp.asarray(
+        np.concatenate(
+            [np.ones(n_blocks, np.float32), np.zeros(n_padded - n_blocks, np.float32)]
+        )
+    )
+
     params = M.init_params(spec)
-    emb = M.init_embeddings(n_blocks, model_cfg.ch)
+    emb = M.init_embeddings(n_padded, model_cfg.ch)
 
     steps_per_epoch = -(-n_blocks // cfg.batch_size)
     net_opt, emb_opt = make_optimizers(cfg, steps_per_epoch)
@@ -268,11 +288,10 @@ def train(
 
     gt_d, dist_d = _prep_dense(gt, dist)
     if mesh is not None:
-        from nvfpcc_tpu.parallel.mesh import shard_train_arrays
-
-        params, opt_state, emb, emb_opt_state, gt_d, dist_d = shard_train_arrays(
+        params, opt_state, emb, emb_opt_state, gt_d, dist_d = pm.shard_train_arrays(
             mesh, params, opt_state, emb, emb_opt_state, gt_d, dist_d
         )
+        block_valid = jax.device_put(block_valid, pm.block_sharding(mesh))
 
     epoch_fns = {
         q: make_epoch_fn(spec, cfg, net_opt, emb_opt, n_total_pts, q) for q in (1, 2)
@@ -288,7 +307,7 @@ def train(
         key = jax.random.fold_in(base_key, epoch)
         params, opt_state, emb, emb_opt_state, metrics = epoch_fns[q](
             state.params, state.opt_state, state.emb, state.emb_opt_state,
-            gt_d, dist_d, jnp.asarray(idx), jnp.asarray(mask), key,
+            gt_d, dist_d, jnp.asarray(idx), jnp.asarray(mask), block_valid, key,
         )
         state = TrainState(params, opt_state, emb, emb_opt_state, epoch)
         s = summarize_metrics(jax.device_get(metrics))
@@ -301,7 +320,9 @@ def train(
         )
 
         if epoch % cfg.eval_every == 0:
-            es = summarize_metrics(jax.device_get(eval_fn(params, emb, gt_d, dist_d)))
+            es = summarize_metrics(
+                jax.device_get(eval_fn(params, emb, gt_d, dist_d, block_valid))
+            )
             log(
                 f"[Epoch {epoch:04d} TEST] Loss: {es['loss']:.4e} "
                 f"Pacc: {es['pacc']:.4f} Nacc: {es['nacc']:.4f} bpp: {es['bpp']:.4f} "
@@ -309,6 +330,13 @@ def train(
                 f"MSE1: {es['mse1']:.4f} PSNR1: {es['psnr1']:.4f}"
             )
             if checkpoint_dir is not None:
-                ckpt_util.save_checkpoint(checkpoint_dir, epoch, state.params, state.emb)
+                ckpt_util.save_checkpoint(
+                    checkpoint_dir, epoch, state.params, state.emb[:n_blocks]
+                )
 
+    # strip mesh padding from the returned embeddings (callers see real blocks)
+    state = TrainState(
+        state.params, state.opt_state, state.emb[:n_blocks], state.emb_opt_state,
+        state.epoch,
+    )
     return spec, state

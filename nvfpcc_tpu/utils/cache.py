@@ -1,0 +1,27 @@
+"""Persistent XLA compilation cache.
+
+Every CLI process pays a fresh XLA compile (60-90 s through the axon TPU
+tunnel) for programs the previous process already built. JAX's persistent
+compilation cache serializes executables to disk; enabling it makes
+encode/decode and repeat train runs start in seconds. (The reference has no
+analog — PyTorch eager pays no compile.)
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.expanduser("~/.cache/nvfpcc_tpu/xla")
+
+
+def enable_compilation_cache(directory: str | None = None) -> None:
+    """Idempotently enable the on-disk compilation cache. Call before the
+    first jit execution (importing jax is fine)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", directory or _DEFAULT_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these flags: cache is an optimization only

@@ -1,0 +1,75 @@
+"""Range coder + Huffman property tests (SURVEY §4 item 3: encode∘decode = id
+on random sigma/mu/symbol streams)."""
+
+import numpy as np
+import pytest
+
+from nvfpcc_tpu.coder import huffman
+from nvfpcc_tpu.coder import range_coder as RC
+
+
+class TestRangeCoder:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_roundtrip_random_tables(self, seed):
+        rng = np.random.default_rng(seed)
+        ntab = int(rng.integers(1, 5))
+        n = int(rng.integers(1, 5000))
+        sigma = rng.uniform(0.01, 100.0, ntab).astype(np.float32)
+        mu = rng.uniform(-100, 100, ntab).astype(np.float32)
+        cum = RC.build_cum_tables(sigma, mu + RC.OFFSET)
+        symbols = rng.integers(0, RC.N_SYM, n).astype(np.int32)
+        table_ids = rng.integers(0, ntab, n).astype(np.int32)
+        stream = RC.encode(symbols, table_ids, cum)
+        out = RC.decode(stream, table_ids, cum)
+        assert np.array_equal(out, symbols)
+
+    def test_rate_near_entropy(self):
+        """Coded length within a few % of the model cross-entropy for
+        model-matched data."""
+        rng = np.random.default_rng(0)
+        sigma, mu = np.float32([4.0]), np.float32([0.0])
+        data = np.clip(np.rint(rng.normal(0, 4.0, 20000)), -500, 500).astype(np.int64)
+        symbols = (data + RC.OFFSET).astype(np.int32)
+        cum = RC.build_cum_tables(sigma, mu + RC.OFFSET)
+        table_ids = np.zeros(len(symbols), np.int32)
+        stream = RC.encode(symbols, table_ids, cum)
+        bits = 8 * len(stream)
+        # empirical entropy of N(0,4) integers ~ log2(sigma*sqrt(2*pi*e)) ~ 4.05
+        assert bits / len(symbols) < 4.3
+
+    def test_table_invariants(self):
+        sigma = np.float32([0.001, 1.0, 50.0])
+        mu = np.float32([-600.0, 0.0, 600.0])  # even far-out means stay codable
+        cum = RC.build_cum_tables(sigma, mu + RC.OFFSET)
+        assert cum.shape == (3, RC.N_SYM + 1)
+        assert (cum[:, 0] == 0).all()
+        assert (cum[:, -1] == RC.TOTAL).all()
+        freqs = np.diff(cum.astype(np.int64), axis=1)
+        assert freqs.min() >= 1  # every symbol decodable
+
+    def test_latent_roundtrip(self):
+        rng = np.random.default_rng(1)
+        ch = 3
+        sigma = rng.uniform(0.1, 8.0, ch).astype(np.float32)
+        mu = rng.uniform(-2, 2, ch).astype(np.float32)
+        lat = np.rint(rng.normal(0, 5, (917, 2, 2, 2, ch))).astype(np.float32)
+        pack = RC.encode_latents(lat, sigma, mu)
+        out = RC.decode_latents(pack)
+        assert out.dtype == np.float32
+        assert np.array_equal(out, lat)
+
+    def test_out_of_range_rejected(self):
+        lat = np.full((1, 2, 2, 2, 1), 1000.0, np.float32)
+        with pytest.raises(ValueError):
+            RC.encode_latents(lat, np.float32([1.0]), np.float32([0.0]))
+
+
+class TestHuffman:
+    @pytest.mark.parametrize("seed", range(3))
+    def test_roundtrip(self, seed):
+        rng = np.random.default_rng(seed)
+        vals = np.rint(rng.normal(0, 3, 5000)).astype(np.int64)
+        cb = huffman.build_codebook(vals)
+        stream = huffman.encode(vals, cb)
+        out = huffman.decode(stream, cb, len(vals))
+        assert np.array_equal(out, vals)
