@@ -30,9 +30,13 @@ def artifact_path(cloud: str, depth: int, level: int) -> str:
     return f"{stem}_d{depth}_l{level}_grids.npz"
 
 
-def load_or_build_artifacts(cloud: str, depth: int, level: int, log=print) -> dict:
+def load_or_build_artifacts(
+    cloud: str, depth: int, level: int, log=print, platform: str = "cpu"
+) -> dict:
     """origins/gt/dist for a cloud, cached as one npz (reference's three .npy
-    files, ``util_get_grids.py:16-46``)."""
+    files, ``util_get_grids.py:16-46``). ``platform``: "cpu" (robust default)
+    or "device" to run the EDT on the ambient accelerator (worth it at
+    vox10+ scale where the host pass takes minutes)."""
     from nvfpcc_tpu.grids.builder import build_artifacts
     from nvfpcc_tpu.io.ply import read_ply_points
 
@@ -44,7 +48,9 @@ def load_or_build_artifacts(cloud: str, depth: int, level: int, log=print) -> di
     points = np.rint(read_ply_points(cloud)).astype(np.int64)
     if points.min() < 0 or points.max() >= (1 << depth):
         raise SystemExit(f"cloud exceeds the 2^{depth} cube: [{points.min()}, {points.max()}]")
-    origins, gt, dist = build_artifacts(points, depth, level)
+    origins, gt, dist = build_artifacts(
+        points, depth, level, platform=None if platform == "device" else "cpu"
+    )
     np.savez_compressed(path, origins=origins, gt=gt, dist=dist)
     log(
         f"[grids] {len(points)} pts -> {len(origins)} blocks of "
@@ -58,9 +64,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--level", type=int, default=5, help="octree partition level")
     p.add_argument(
         "--platform",
-        choices=("default", "cpu"),
+        choices=("default", "cpu", "device"),
         default="default",
-        help="pin all compute to a backend (cpu: robust/no-TPU path for small jobs)",
+        help="cpu: pin ALL compute to host (robust, no TPU tunnel); device: run "
+        "even the grids EDT on the accelerator (vox10+ scale); default: grids "
+        "on host, model compute on the ambient device",
     )
 
 
@@ -69,6 +77,10 @@ def _apply_platform(args) -> None:
         import jax
 
         jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
+
+
+def _grids_platform(args) -> str:
+    return "device" if getattr(args, "platform", "default") == "device" else "cpu"
 
 
 def _add_model(p: argparse.ArgumentParser) -> None:
@@ -83,7 +95,9 @@ def _model_cfg(args):
 
 
 def cmd_grids(args) -> int:
-    load_or_build_artifacts(args.cloud, args.depth, args.level)
+    load_or_build_artifacts(
+        args.cloud, args.depth, args.level, platform=_grids_platform(args)
+    )
     return 0
 
 
@@ -92,7 +106,9 @@ def cmd_train(args) -> int:
     from nvfpcc_tpu.train.loop import train
 
     _apply_platform(args)
-    art = load_or_build_artifacts(args.cloud, args.depth, args.level)
+    art = load_or_build_artifacts(
+        args.cloud, args.depth, args.level, platform=_grids_platform(args)
+    )
     cfg = TrainConfig(
         lmbda=args.lmbda,
         w1=args.w1,
@@ -115,6 +131,7 @@ def cmd_train(args) -> int:
     train(
         art["gt"], art["dist"], _model_cfg(args), cfg,
         checkpoint_dir=args.checkpoint_dir, mesh=mesh,
+        resume=args.resume, metrics_path=args.metrics,
     )
     return 0
 
@@ -139,7 +156,9 @@ def cmd_encode(args) -> int:
     from nvfpcc_tpu.io.ply import write_ply_points
 
     _apply_platform(args)
-    art = load_or_build_artifacts(args.cloud, args.depth, args.level)
+    art = load_or_build_artifacts(
+        args.cloud, args.depth, args.level, platform=_grids_platform(args)
+    )
     n_blocks = len(art["origins"])
     n_points = int(art["gt"].sum())
     params, emb = _load_train_state(args, n_blocks)
@@ -210,6 +229,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--checkpoint_dir", type=str, default="ckpts")
     t.add_argument("--mesh", action="store_true", help="block-DP over all devices")
+    t.add_argument(
+        "--resume", action="store_true",
+        help="resume from the latest full train-state snapshot in checkpoint_dir",
+    )
+    t.add_argument(
+        "--metrics", type=str, default=None,
+        help="append one JSON line of metrics per epoch to this file",
+    )
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("encode", help="pack weights+latents+origins -> pack.pk")

@@ -26,6 +26,8 @@ same outputs fall out of a Morton sort:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 
@@ -42,13 +44,29 @@ def morton_key_zyx(coords: np.ndarray, depth: int) -> np.ndarray:
     return key
 
 
-def leaf_origins(points: np.ndarray, depth: int = 10, level: int = 5) -> np.ndarray:
+_NATIVE_MIN_POINTS = 50_000  # below this, numpy is already instant
+
+
+def leaf_origins(
+    points: np.ndarray, depth: int = 10, level: int = 5, use_native: Optional[bool] = None
+) -> np.ndarray:
     """Origins of occupied level-``level`` blocks in reference traversal order.
 
     ``points`` is (N, 3) integer voxel coords in [0, 2^depth). Block size is
     ``2^(depth-level)`` (32 for vox10/l5). Returns int64 (M, 3).
+
+    Large clouds route through the native C++ radix-sort partitioner
+    (``native/octree.cpp``) when it is buildable; the numpy path is the
+    reference semantics and the fallback (equality is property-tested).
     """
     pts = np.asarray(points, dtype=np.int64)
+    if use_native is None:
+        use_native = len(pts) >= _NATIVE_MIN_POINTS
+    if use_native:
+        from nvfpcc_tpu.octree import native
+
+        if native.available():
+            return native.leaf_origins(pts, depth, level)
     shift = depth - level
     blocks = np.unique(pts >> shift, axis=0)
     order = np.argsort(morton_key_zyx(blocks, level), kind="stable")

@@ -179,7 +179,9 @@ def make_epoch_fn(
         )
         return loss
 
-    @jax.jit
+    # donate the threaded state: params/opt/emb buffers update in place on
+    # device instead of being copied every epoch
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def epoch_fn(
         params, opt_state, emb, emb_opt_state, gt, dist, idx, mask, block_valid, key
     ):
@@ -240,6 +242,11 @@ def summarize_metrics(metrics) -> dict:
     return out
 
 
+class TrainDivergence(RuntimeError):
+    """Raised when the loss goes non-finite (the reference instead drops into
+    an interactive IPython shell, ``NVFPCC.py:199-212``; a framework raises)."""
+
+
 def train(
     gt: np.ndarray,
     dist: np.ndarray,
@@ -248,13 +255,20 @@ def train(
     checkpoint_dir: Optional[str] = None,
     log: Callable[[str], None] = print,
     mesh=None,
+    resume: bool = False,
+    metrics_path: Optional[str] = None,
 ):
     """Full training run (reference ``train()``, ``NVFPCC.py:103-393``).
 
     ``gt`` (N,B,B,B) uint8, ``dist`` (N,B,B,B) f32. Returns (spec, TrainState).
     When ``mesh`` is given, block-sharded arrays and replicated params are laid
-    out per ``nvfpcc_tpu.parallel``.
+    out per ``nvfpcc_tpu.parallel``. With ``resume=True`` the latest full
+    train-state snapshot in ``checkpoint_dir`` (params + both Adam states +
+    epoch) is restored — a capability the reference lacks (SURVEY §5).
+    ``metrics_path`` appends one JSON line of metrics per epoch.
     """
+    import json
+
     from nvfpcc_tpu.utils import checkpoint as ckpt_util
 
     n_blocks = int(gt.shape[0])
@@ -299,8 +313,30 @@ def train(
     eval_fn = make_eval_fn(spec, cfg, n_total_pts)
     base_key = jax.random.PRNGKey(cfg.seed)
 
+    start_epoch = 0
     state = TrainState(params, opt_state, emb, emb_opt_state)
-    for epoch in range(cfg.epochs):
+    if resume and checkpoint_dir is not None:
+        snap_path = ckpt_util.latest_train_state(checkpoint_dir)
+        if snap_path is not None:
+            snap = ckpt_util.load_train_state(snap_path)
+            if snap["emb"].shape[0] != n_padded:
+                raise ValueError(
+                    f"snapshot block axis {snap['emb'].shape[0]} != {n_padded} "
+                    "(mesh size changed since the snapshot?)"
+                )
+            r_params, r_opt, r_emb, r_emb_opt = (
+                snap["params"], snap["opt_state"],
+                jnp.asarray(snap["emb"]), snap["emb_opt_state"],
+            )
+            if mesh is not None:
+                r_params, r_opt, r_emb, r_emb_opt, gt_d, dist_d = pm.shard_train_arrays(
+                    mesh, r_params, r_opt, r_emb, r_emb_opt, gt_d, dist_d
+                )
+            state = TrainState(r_params, r_opt, r_emb, r_emb_opt, snap["epoch"])
+            start_epoch = snap["epoch"] + 1
+            log(f"[train] resumed from {snap_path} (epoch {snap['epoch']})")
+
+    for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         q = 1 if epoch < cfg.phase_change else 2
         idx, mask = batch_plan(n_blocks, cfg.batch_size, cfg.shuffle, cfg.seed, epoch)
@@ -311,6 +347,13 @@ def train(
         )
         state = TrainState(params, opt_state, emb, emb_opt_state, epoch)
         s = summarize_metrics(jax.device_get(metrics))
+        if not np.isfinite(s["loss"]):
+            raise TrainDivergence(
+                f"non-finite loss at epoch {epoch} (q={q}): {s}"
+            )
+        if metrics_path is not None:
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps({"epoch": epoch, "q": q, **s}) + "\n")
         log(
             f"[Epoch {epoch:04d} TRAIN {time.time()-t0:.1f}s] "
             f"Loss: {s['loss']:.4e} Pacc: {s['pacc']:.4f} Nacc: {s['nacc']:.4f} "
@@ -333,6 +376,7 @@ def train(
                 ckpt_util.save_checkpoint(
                     checkpoint_dir, epoch, state.params, state.emb[:n_blocks]
                 )
+                ckpt_util.save_train_state(checkpoint_dir, epoch, state)
 
     # strip mesh padding from the returned embeddings (callers see real blocks)
     state = TrainState(

@@ -57,3 +57,65 @@ def latest_checkpoint(directory: str):
     if not files:
         return None
     return os.path.join(directory, max(files))
+
+
+# ---------------------------------------------------------------------------
+# full train-state checkpointing (params + both optimizer states + epoch).
+# The reference saves only state_dict + raw embeddings and cannot resume
+# mid-run with optimizer momenta (SURVEY §5 "no optimizer state, no mid-epoch
+# resume"); this is the aux-subsystem upgrade. Arbitrary pytrees (optax
+# namedtuple states) round-trip via a pickled treedef + an .npz of leaves.
+# ---------------------------------------------------------------------------
+
+
+def save_pytree(path: str, tree) -> None:
+    import pickle
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    np.savez(
+        path,
+        __treedef__=np.frombuffer(pickle.dumps(treedef), np.uint8),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+
+
+def load_pytree(path: str):
+    import pickle
+
+    data = np.load(path, allow_pickle=False)
+    treedef = pickle.loads(data["__treedef__"].tobytes())
+    leaves = [data[f"leaf_{i}"] for i in range(treedef.num_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_train_state(directory: str, epoch: int, state) -> str:
+    """Full resumable snapshot (TrainState-shaped object)."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"state_{epoch:04d}.npz")
+    save_pytree(
+        path,
+        {
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+            "emb": np.asarray(state.emb),
+            "emb_opt_state": jax.device_get(state.emb_opt_state),
+            "epoch": np.int64(state.epoch),
+        },
+    )
+    return path
+
+
+def load_train_state(path: str) -> dict:
+    """Returns the dict saved by save_train_state."""
+    tree = load_pytree(path)
+    tree["epoch"] = int(tree["epoch"])
+    return tree
+
+
+def latest_train_state(directory: str):
+    files = [
+        f for f in os.listdir(directory) if re.fullmatch(r"state_\d{4}\.npz", f)
+    ]
+    if not files:
+        return None
+    return os.path.join(directory, max(files))
