@@ -183,6 +183,37 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def cmd_weights(args) -> int:
+    """Standalone weight quantize + entropy-pack report (reference
+    ``manipulate_weights.py`` CLI + ``util_code_quantized_weights.py`` CLI:
+    quantize a checkpoint to the 1/qp grid, Huffman-pack, verify lossless,
+    report bits)."""
+    from nvfpcc_tpu import codec
+    from nvfpcc_tpu.utils import checkpoint as C
+
+    params, emb = C.load_checkpoint(args.ckpt)
+    qparams = codec.quantize_residuals(params, args.qp)
+    pack = codec.pack_weights(qparams, args.qp)
+    coded, as_is = codec.weight_pack_bits(pack)
+    n_coded = pack["element_length"]
+    print(
+        f"[weights] {n_coded} residuals @ 1/{args.qp} -> {coded} bits coded "
+        f"({coded / n_coded:.3f} b/residual) + {as_is} bits as-is fp32 "
+        f"| lossless round-trip OK"
+    )
+    if args.out:
+        d = os.path.dirname(args.out)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        np.savez(
+            args.out,
+            **C.tree_to_flat(qparams),
+            **({"__emb__": np.asarray(emb)} if emb is not None else {}),
+        )
+        print(f"[weights] wrote quantized checkpoint {args.out}")
+    return 0
+
+
 def cmd_decode(args) -> int:
     from nvfpcc_tpu import codec
     from nvfpcc_tpu.io.ply import write_ply_points
@@ -249,6 +280,14 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--thh", type=float, default=0.65)
     e.add_argument("--qp", type=int, default=16)
     e.set_defaults(fn=cmd_encode)
+
+    w = sub.add_parser(
+        "weights", help="quantize + entropy-pack a checkpoint's weights (report bits)"
+    )
+    w.add_argument("ckpt")
+    w.add_argument("--out", type=str, default=None, help="write quantized ckpt here")
+    w.add_argument("--qp", type=int, default=16)
+    w.set_defaults(fn=cmd_weights)
 
     d = sub.add_parser("decode", help="pack.pk -> reconstructed cloud")
     d.add_argument("pack")
