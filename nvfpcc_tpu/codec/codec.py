@@ -2,8 +2,9 @@
 
 Capability rebuild of the reference codec driver (``NVFPCC.py:395-554``
 ``encode``, ``:557-652`` ``decode``): the transmitted artifact is a pickled
-dict with three payloads — entropy-packed decoder weights, raw int16 block
-origins, range-coded latents — plus enough model metadata to rebuild the
+dict with three payloads — entropy-packed decoder weights, octree-coded
+block origins (~2.5 bits/block vs the reference's raw int16 at 48 bits),
+and range-coded latents — plus enough model metadata to rebuild the
 (seeded-init) decoder with no side files.
 
 Fidelity gate: encoder and decoder run the *identical* reconstruction program
@@ -38,7 +39,37 @@ from nvfpcc_tpu.coder import range_coder as RC
 from nvfpcc_tpu.config import CodecConfig, ModelConfig
 from nvfpcc_tpu.models import decoder as M
 
-PACK_FORMAT_VERSION = 1
+PACK_FORMAT_VERSION = 2
+
+
+def encode_origins(origins: np.ndarray, depth: int, level: int) -> dict:
+    """Origins payload as trimmed octree occupancy bits (~2.5 bits/block).
+
+    The reference transmits raw 3x int16 per block (``NVFPCC.py:436-439``,
+    48 bits/block) even though its own octree tool already computes the
+    subtree occupancy string; here the string IS the payload. Lossless by
+    construction (round-trip asserted)."""
+    from nvfpcc_tpu.octree import partition as OT
+
+    s = OT.subtree_occupancy_string(np.asarray(origins, np.int64), depth, level - 1)
+    payload = {
+        "mode": "octree",
+        "bits": OT.pack_occupancy_bits(s),
+        "n_bits": len(s),
+    }
+    rt = decode_origins(payload, depth, level)
+    assert np.array_equal(rt, np.asarray(origins, np.int64)), "origins round-trip"
+    return payload
+
+
+def decode_origins(payload, depth: int, level: int) -> np.ndarray:
+    """Inverse of :func:`encode_origins`; also accepts the v1 raw-int16 form."""
+    from nvfpcc_tpu.octree import partition as OT
+
+    if isinstance(payload, np.ndarray):  # format v1
+        return np.asarray(payload, np.int64)
+    s = OT.unpack_occupancy_bits(payload["bits"], payload["n_bits"])
+    return OT.occupancy_to_origins(s, depth, level, with_leaf_children=False)
 
 
 @dataclass
@@ -115,10 +146,8 @@ def encode(
         lat_int, np.asarray(code["sigma"]), np.asarray(code["mu"])
     )
 
-    # [ORIGINS] raw int16 (NVFPCC.py:436-439)
-    origins16 = np.asarray(origins, np.int16)
-    if not np.array_equal(origins16.astype(np.int64), np.asarray(origins, np.int64)):
-        raise ValueError("origins exceed int16 range")
+    # [ORIGINS] trimmed octree occupancy bits (see encode_origins)
+    origins_payload = encode_origins(origins, codec_cfg.depth, codec_cfg.level)
 
     pack = {
         "format_version": PACK_FORMAT_VERSION,
@@ -139,7 +168,7 @@ def encode(
             "n_points_src": int(n_points_src),
         },
         "net_weight_pack": net_weight_pack,
-        "origins": origins16,
+        "origins": origins_payload,
         "latent_pack": latent_pack,
     }
 
@@ -153,7 +182,7 @@ def encode(
 
     coded_w, as_is_w = W.weight_pack_bits(net_weight_pack)
     latent_bits = 8 * len(latent_pack["stream"]) + 2 * model_cfg.ch * 32
-    origin_bits = origins16.size * 16
+    origin_bits = origins_payload["n_bits"]
     total_bits = coded_w + as_is_w + latent_bits + origin_bits
     stats = {
         "n_blocks": int(len(origins)),
@@ -174,7 +203,7 @@ def decode(pack: dict) -> Tuple[np.ndarray, dict]:
 
     Touches neither the dataset nor the latent generator; rebuilds the seeded
     decoder from the pack's model metadata alone."""
-    if pack.get("format_version") != PACK_FORMAT_VERSION:
+    if pack.get("format_version") not in (1, PACK_FORMAT_VERSION):
         raise ValueError(f"unsupported pack format: {pack.get('format_version')}")
     mc = pack["model"]
     model_cfg = ModelConfig(ch=int(mc["ch"]), chanstr=mc["chanstr"], seed_tag=mc["seed_tag"])
@@ -182,7 +211,9 @@ def decode(pack: dict) -> Tuple[np.ndarray, dict]:
 
     params = W.unpack_weights(pack["net_weight_pack"])
     latents = RC.decode_latents(pack["latent_pack"])
-    origins = np.asarray(pack["origins"], np.int64)
+    origins = decode_origins(
+        pack["origins"], int(pack["codec"]["depth"]), int(pack["codec"]["level"])
+    )
 
     occ = reconstruct_all(spec, params, latents)
     points = extract_points(occ, origins, float(pack["codec"]["thh"]))

@@ -108,6 +108,58 @@ def subtree_occupancy_string(points: np.ndarray, depth: int = 10, level: int = 5
     return "".join(out)
 
 
+def occupancy_to_origins(
+    occ_string: str, depth: int, level: int, with_leaf_children: bool = True
+) -> np.ndarray:
+    """Decode a BFS occupancy string back to leaf origins in reference
+    traversal (Morton) order — the inverse of :func:`subtree_occupancy_string`
+    restricted to level-``level`` leaves.
+
+    The reference string encodes the subtree down to level+1 (leaf nodes also
+    emit their children, ``get_octree.cpp:574-595``) — ``with_leaf_children=
+    True`` parses that form. The pack uses the trimmed form (leaves are the
+    deepest bits: ``subtree_occupancy_string(..., level-1)``), ~2.5 bits per
+    block: the reference ships the string in subtree.txt but then transmits
+    raw 3x int16 origins anyway (``NVFPCC.py:436-439``) — 48 bits/block we
+    don't spend.
+    """
+    queue_below = level if with_leaf_children else level - 1
+    pos = 0
+    queue = [(0, (0, 0, 0))]
+    leaves = []
+    qi = 0
+    while qi < len(queue):
+        lv, (cx, cy, cz) = queue[qi]
+        qi += 1
+        child_lv = lv + 1
+        for flag in range(8):
+            if pos >= len(occ_string):
+                raise ValueError("truncated occupancy string")
+            hit = occ_string[pos] == "1"
+            pos += 1
+            if not hit:
+                continue
+            child = (2 * cx + (flag & 1), 2 * cy + ((flag >> 1) & 1), 2 * cz + ((flag >> 2) & 1))
+            if child_lv == level:
+                leaves.append(child)
+            if child_lv <= queue_below:
+                queue.append((child_lv, child))
+    blocks = np.asarray(leaves, dtype=np.int64).reshape(-1, 3)
+    order = np.argsort(morton_key_zyx(blocks, level), kind="stable")
+    return blocks[order] << (depth - level)
+
+
+def pack_occupancy_bits(occ_string: str) -> bytes:
+    """Bit-pack a '0'/'1' occupancy string (MSB-first)."""
+    bits = np.frombuffer(occ_string.encode("ascii"), np.uint8) - ord("0")
+    return np.packbits(bits).tobytes()
+
+
+def unpack_occupancy_bits(data: bytes, n_bits: int) -> str:
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))[:n_bits]
+    return "".join("1" if b else "0" for b in bits)
+
+
 def write_origins_txt(path: str, origins: np.ndarray) -> None:
     """CSV origins file in the reference format (``get_octree.cpp:787-795``)."""
     with open(path, "w") as f:
