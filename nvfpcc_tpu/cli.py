@@ -132,6 +132,7 @@ def cmd_train(args) -> int:
         art["gt"], art["dist"], _model_cfg(args), cfg,
         checkpoint_dir=args.checkpoint_dir, mesh=mesh,
         resume=args.resume, metrics_path=args.metrics,
+        profile_dir=args.profile,
     )
     return 0
 
@@ -180,6 +181,26 @@ def cmd_encode(args) -> int:
     if args.recon:
         write_ply_points(args.recon, result.points)
         print(f"[encode] wrote {args.recon}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    """D1 PSNR between two point clouds (the pc_error-style check the
+    reference leaves to external MPEG tooling)."""
+    from nvfpcc_tpu.io.ply import read_ply_points
+    from nvfpcc_tpu.metrics import d1_psnr
+
+    _apply_platform(args)
+    ref = np.rint(read_ply_points(args.ref)).astype(np.int64)
+    rec = np.rint(read_ply_points(args.rec)).astype(np.int64)
+    m = d1_psnr(
+        ref, rec, depth=args.depth,
+        platform="cpu" if args.platform == "cpu" else None,
+    )
+    print(
+        f"[eval] D1 PSNR {m['psnr']:.4f} dB | mse(ref->rec) {m['mse_ab']:.6f} "
+        f"mse(rec->ref) {m['mse_ba']:.6f} | {len(ref)} vs {len(rec)} pts"
+    )
     return 0
 
 
@@ -268,6 +289,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--metrics", type=str, default=None,
         help="append one JSON line of metrics per epoch to this file",
     )
+    t.add_argument(
+        "--profile", type=str, default=None,
+        help="write a jax profiler trace of post-compile epochs to this dir",
+    )
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("encode", help="pack weights+latents+origins -> pack.pk")
@@ -280,6 +305,12 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--thh", type=float, default=0.65)
     e.add_argument("--qp", type=int, default=16)
     e.set_defaults(fn=cmd_encode)
+
+    ev = sub.add_parser("eval", help="D1 PSNR between two .ply clouds")
+    ev.add_argument("ref")
+    ev.add_argument("rec")
+    _add_common(ev)
+    ev.set_defaults(fn=cmd_eval)
 
     w = sub.add_parser(
         "weights", help="quantize + entropy-pack a checkpoint's weights (report bits)"

@@ -142,6 +142,18 @@ def encode(
         qparams, jnp.asarray(emb, jnp.float32)
     )
     lat_int = np.rint(np.asarray(code["quantized_latent"], np.float64)).astype(np.int64)
+    # clamp to the codable alphabet (reference maps into [0,1024] the same
+    # way, NVFPCC.py:447-449); both sides reconstruct from the clamped ints,
+    # so parity is unaffected — but warn, because it means training drifted.
+    lo, hi = -RC.OFFSET, RC.N_SYM - RC.OFFSET - 1
+    n_out = int(((lat_int < lo) | (lat_int > hi)).sum())
+    if n_out:
+        import warnings
+
+        warnings.warn(
+            f"{n_out} latent(s) outside the codable range [{lo}, {hi}] were clamped"
+        )
+        lat_int = np.clip(lat_int, lo, hi)
     latent_pack = RC.encode_latents(
         lat_int, np.asarray(code["sigma"]), np.asarray(code["mu"])
     )

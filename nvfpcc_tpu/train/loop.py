@@ -257,6 +257,7 @@ def train(
     mesh=None,
     resume: bool = False,
     metrics_path: Optional[str] = None,
+    profile_dir: Optional[str] = None,
 ):
     """Full training run (reference ``train()``, ``NVFPCC.py:103-393``).
 
@@ -336,7 +337,13 @@ def train(
             start_epoch = snap["epoch"] + 1
             log(f"[train] resumed from {snap_path} (epoch {snap['epoch']})")
 
+    # Profile a post-compile window (epochs 3-5): first epochs are compile
+    # noise; the reference's only tracing is wall-clock prints (SURVEY §5).
+    prof_start, prof_stop = 3, 5
+
     for epoch in range(start_epoch, cfg.epochs):
+        if profile_dir is not None and epoch == prof_start:
+            jax.profiler.start_trace(profile_dir)
         t0 = time.time()
         q = 1 if epoch < cfg.phase_change else 2
         idx, mask = batch_plan(n_blocks, cfg.batch_size, cfg.shuffle, cfg.seed, epoch)
@@ -347,6 +354,9 @@ def train(
         )
         state = TrainState(params, opt_state, emb, emb_opt_state, epoch)
         s = summarize_metrics(jax.device_get(metrics))
+        if profile_dir is not None and epoch == prof_stop:
+            jax.profiler.stop_trace()
+            log(f"[train] profiler trace written to {profile_dir}")
         if not np.isfinite(s["loss"]):
             raise TrainDivergence(
                 f"non-finite loss at epoch {epoch} (q={q}): {s}"

@@ -53,6 +53,8 @@ def load_checkpoint(path: str):
 
 
 def latest_checkpoint(directory: str):
+    if not os.path.isdir(directory):
+        return None
     files = [f for f in os.listdir(directory) if re.fullmatch(r"\d{4}\.npz", f)]
     if not files:
         return None
@@ -113,6 +115,8 @@ def load_train_state(path: str) -> dict:
 
 
 def latest_train_state(directory: str):
+    if not os.path.isdir(directory):
+        return None
     files = [
         f for f in os.listdir(directory) if re.fullmatch(r"state_\d{4}\.npz", f)
     ]

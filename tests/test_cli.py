@@ -1,0 +1,62 @@
+"""CLI surface tests: parser coverage + light functional runs on CPU."""
+
+import numpy as np
+import pytest
+
+from nvfpcc_tpu.cli import build_parser, main
+from nvfpcc_tpu.io.ply import write_ply_points
+
+
+def _tiny_cloud(tmp_path, depth=6, n=200, seed=0):
+    rng = np.random.default_rng(seed)
+    size = 1 << depth
+    t = rng.uniform(0, 2 * np.pi, n)
+    pts = np.stack(
+        [size / 2 + size * 0.3 * np.cos(t), size / 2 + size * 0.3 * np.sin(t),
+         np.full_like(t, size / 2)], -1,
+    )
+    pts = np.unique(np.clip(np.rint(pts), 0, size - 1).astype(np.int64), axis=0)
+    p = str(tmp_path / "tiny.ply")
+    write_ply_points(p, pts)
+    return p, pts
+
+
+class TestParser:
+    def test_all_subcommands_parse(self):
+        ap = build_parser()
+        ap.parse_args(["grids", "c.ply", "--depth", "7", "--level", "2"])
+        ap.parse_args(
+            ["train", "c.ply", "--lambda", "100", "--epochs", "3", "--mesh",
+             "--resume", "--metrics", "m.jsonl", "--profile", "prof"]
+        )
+        ap.parse_args(
+            ["encode", "c.ply", "--load_checkpoint", "d", "--pack_fn", "p.pk",
+             "--thh", "0.6", "--qp", "16", "--platform", "cpu"]
+        )
+        ap.parse_args(["decode", "p.pk", "--recon", "out.ply", "--thh", "0.5"])
+        ap.parse_args(["eval", "a.ply", "b.ply", "--depth", "10"])
+        ap.parse_args(["weights", "c.npz", "--out", "q.npz", "--qp", "8"])
+
+    def test_missing_subcommand_fails(self):
+        with pytest.raises(SystemExit):
+            build_parser().parse_args([])
+
+
+class TestFunctional:
+    def test_grids_and_eval(self, tmp_path, capsys):
+        cloud, pts = _tiny_cloud(tmp_path)
+        assert main(["grids", cloud, "--depth", "6", "--level", "1"]) == 0
+        art = tmp_path / "tiny_d6_l1_grids.npz"
+        assert art.exists()
+        data = np.load(art)
+        assert data["gt"].sum() == len(pts)
+        # identical clouds -> infinite D1
+        assert main(["eval", cloud, cloud, "--depth", "6", "--platform", "cpu"]) == 0
+        out = capsys.readouterr().out
+        assert "D1 PSNR inf" in out
+
+    def test_cloud_out_of_cube_rejected(self, tmp_path):
+        p = str(tmp_path / "bad.ply")
+        write_ply_points(p, np.array([[0, 0, 4096]]))
+        with pytest.raises(SystemExit):
+            main(["grids", p, "--depth", "6", "--level", "1"])
