@@ -86,12 +86,18 @@ def _grids_platform(args) -> str:
 def _add_model(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ch", type=int, default=3, help="latent channels")
     p.add_argument("--chanstr", type=str, default="8,16,8,8", help="decoder channels")
+    p.add_argument(
+        "--entropy_mode", choices=("channel", "spatio"), default="channel",
+        help="latent entropy model granularity (per-channel or per-position)",
+    )
 
 
 def _model_cfg(args):
     from nvfpcc_tpu.config import ModelConfig
 
-    return ModelConfig(ch=args.ch, chanstr=args.chanstr)
+    return ModelConfig(
+        ch=args.ch, chanstr=args.chanstr, entropy_mode=args.entropy_mode
+    )
 
 
 def cmd_grids(args) -> int:

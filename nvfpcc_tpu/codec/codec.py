@@ -130,7 +130,10 @@ def encode(
     """Produce the pack + the encoder-side reconstruction
     (reference ``encode()``, ``NVFPCC.py:395-554``)."""
     if spec is None:
-        spec = M.build_model_spec(model_cfg.ch, model_cfg.channels, model_cfg.seed_tag)
+        spec = M.build_model_spec(
+            model_cfg.ch, model_cfg.channels, model_cfg.seed_tag,
+            model_cfg.entropy_mode,
+        )
 
     # [WEIGHTS] quantize to the 1/qp grid, entropy-pack (NVFPCC.py:409-410)
     qparams = W.quantize_residuals(params, codec_cfg.qp)
@@ -167,6 +170,7 @@ def encode(
             "ch": model_cfg.ch,
             "chanstr": model_cfg.chanstr,
             "seed_tag": model_cfg.seed_tag,
+            "entropy_mode": model_cfg.entropy_mode,
         },
         "codec": {
             # the decode threshold; the encoder reconstructs at the same value
@@ -193,7 +197,9 @@ def encode(
     points = extract_points(occ, origins, codec_cfg.thh_encode)
 
     coded_w, as_is_w = W.weight_pack_bits(net_weight_pack)
-    latent_bits = 8 * len(latent_pack["stream"]) + 2 * model_cfg.ch * 32
+    latent_bits = (
+        8 * len(latent_pack["stream"]) + 2 * latent_pack["sigma"].size * 32
+    )
     origin_bits = origins_payload["n_bits"]
     total_bits = coded_w + as_is_w + latent_bits + origin_bits
     stats = {
@@ -218,8 +224,13 @@ def decode(pack: dict) -> Tuple[np.ndarray, dict]:
     if pack.get("format_version") not in (1, PACK_FORMAT_VERSION):
         raise ValueError(f"unsupported pack format: {pack.get('format_version')}")
     mc = pack["model"]
-    model_cfg = ModelConfig(ch=int(mc["ch"]), chanstr=mc["chanstr"], seed_tag=mc["seed_tag"])
-    spec = M.build_model_spec(model_cfg.ch, model_cfg.channels, model_cfg.seed_tag)
+    model_cfg = ModelConfig(
+        ch=int(mc["ch"]), chanstr=mc["chanstr"], seed_tag=mc["seed_tag"],
+        entropy_mode=mc.get("entropy_mode", "channel"),
+    )
+    spec = M.build_model_spec(
+        model_cfg.ch, model_cfg.channels, model_cfg.seed_tag, model_cfg.entropy_mode
+    )
 
     params = W.unpack_weights(pack["net_weight_pack"])
     latents = RC.decode_latents(pack["latent_pack"])

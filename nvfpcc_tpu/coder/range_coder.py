@@ -201,15 +201,42 @@ def decode(stream: bytes, table_ids: np.ndarray, cum: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def encode_latents(latents: np.ndarray, sigma: np.ndarray, mu: np.ndarray) -> dict:
-    """Encode integer latents (N, 2, 2, 2, ch) under per-channel Gaussians.
+def _latent_tables(shape, sigma: np.ndarray, mu: np.ndarray):
+    """(sigma32, mu32, table_ids) for per-block latents of ``shape``.
 
-    Mirrors the reference's latent serialization (``NVFPCC.py:444-477``): each
-    channel has one (sigma, mu); symbols are latent + OFFSET. Returns the
-    latent pack dict (stream + the exact f32 model params needed to decode).
+    The model params may be per-channel ``(ch,)`` (the reference's active
+    ``QuantGaussianLikelihood``) or per-position ``shape[1:]`` (the
+    dormant ``SpatioQuantGaussianLikelihood`` design,
+    ``utils/network.py:4554-4590``) — one integer table per parameter either
+    way; per-symbol table id is just its (position-)index within the block.
     """
+    ch = shape[-1]
+    per_block = tuple(shape[1:])
+    sigma = np.asarray(sigma, np.float32)
+    mu = np.asarray(mu, np.float32)
+    if sigma.size == ch:
+        sigma32, mu32 = sigma.reshape(ch), mu.reshape(ch)
+        ids = np.broadcast_to(np.arange(ch, dtype=np.int32), shape).reshape(-1)
+    elif sigma.size == int(np.prod(per_block)):
+        sigma32, mu32 = sigma.reshape(-1), mu.reshape(-1)
+        ids = np.broadcast_to(
+            np.arange(sigma.size, dtype=np.int32).reshape(per_block), shape
+        ).reshape(-1)
+    else:
+        raise ValueError(
+            f"entropy params of size {sigma.size} fit neither per-channel ({ch}) "
+            f"nor per-position ({int(np.prod(per_block))})"
+        )
+    return sigma32, mu32, ids
+
+
+def encode_latents(latents: np.ndarray, sigma: np.ndarray, mu: np.ndarray) -> dict:
+    """Encode integer latents (N, 2, 2, 2, ch) under Gaussian models.
+
+    Mirrors the reference's latent serialization (``NVFPCC.py:444-477``);
+    symbols are latent + OFFSET. Returns the latent pack dict (stream + the
+    exact f32 model params needed to decode)."""
     latents = np.asarray(latents)
-    ch = latents.shape[-1]
     ints = np.rint(latents).astype(np.int64)
     symbols = ints + OFFSET
     if symbols.min() < 0 or symbols.max() >= N_SYM:
@@ -217,20 +244,16 @@ def encode_latents(latents: np.ndarray, sigma: np.ndarray, mu: np.ndarray) -> di
             f"latent out of codable range [-{OFFSET}, {N_SYM - OFFSET}): "
             f"[{ints.min()}, {ints.max()}]"
         )
-    sigma32 = np.asarray(sigma, np.float32).reshape(ch)
-    mu32 = np.asarray(mu, np.float32).reshape(ch)
+    sigma32, mu32, table_ids = _latent_tables(latents.shape, sigma, mu)
     cum = build_cum_tables(sigma32, mu32 + OFFSET)
-    table_ids = np.broadcast_to(
-        np.arange(ch, dtype=np.int32), latents.shape
-    ).reshape(-1)
     stream = encode(symbols.reshape(-1), table_ids, cum)
     # reciprocity self-check, as the reference asserts at encode (NVFPCC.py:466-470)
     rt = decode(stream, table_ids, cum)
     assert np.array_equal(rt, symbols.reshape(-1)), "range coder round-trip failed"
     return {
         "stream": stream,
-        "sigma": sigma32,
-        "mu": mu32,
+        "sigma": np.asarray(sigma, np.float32),
+        "mu": np.asarray(mu, np.float32),
         "shape": tuple(latents.shape),
     }
 
@@ -238,13 +261,9 @@ def encode_latents(latents: np.ndarray, sigma: np.ndarray, mu: np.ndarray) -> di
 def decode_latents(pack: dict) -> np.ndarray:
     """Inverse of :func:`encode_latents`. Returns float32 latents."""
     shape = tuple(pack["shape"])
-    ch = shape[-1]
-    sigma32 = np.asarray(pack["sigma"], np.float32).reshape(ch)
-    mu32 = np.asarray(pack["mu"], np.float32).reshape(ch)
+    sigma32, mu32, table_ids = _latent_tables(shape, pack["sigma"], pack["mu"])
     cum = build_cum_tables(sigma32, mu32 + OFFSET)
-    n = int(np.prod(shape))
-    table_ids = np.broadcast_to(np.arange(ch, dtype=np.int32), shape).reshape(-1)
-    symbols = decode(pack["stream"], table_ids[:n], cum)
+    symbols = decode(pack["stream"], table_ids, cum)
     return (symbols.astype(np.int64) - OFFSET).astype(np.float32).reshape(shape)
 
 

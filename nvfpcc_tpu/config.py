@@ -16,6 +16,12 @@ class ModelConfig:
     ch: int = 3  # latent channels (--ch; README uses 3)
     chanstr: str = "8,16,8,8"  # decoder channel plan (--chanstr)
     seed_tag: str = "nvfpcc-tpu/seed-stream/v1"
+    entropy_mode: str = "channel"
+    """Latent entropy model granularity: "channel" = one (sigma, mu) per
+    latent channel (the reference's active QuantGaussianLikelihood,
+    utils/network.py:4490-4552); "spatio" = one per latent position
+    (2,2,2,ch) (the dormant SpatioQuantGaussianLikelihood design,
+    utils/network.py:4554-4590, with its self.bypass_round bug fixed)."""
 
     @property
     def channels(self) -> Tuple[int, ...]:

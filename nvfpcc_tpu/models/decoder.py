@@ -66,6 +66,7 @@ class ModelSpec:
     channels: Tuple[int, int, int, int]
     specs: dict  # name -> QSpec
     seed_tag: str
+    entropy_mode: str = "channel"  # "channel" | "spatio" (see ModelConfig)
 
     @property
     def latent_shape(self) -> Tuple[int, int, int, int]:
@@ -76,6 +77,7 @@ def build_model_spec(
     ch: int = 3,
     channels: Tuple[int, int, int, int] = (8, 16, 8, 8),
     seed_tag: str = seeds.DEFAULT_TAG,
+    entropy_mode: str = "channel",
 ) -> ModelSpec:
     """Construct layer specs mirroring the reference architecture
     (``utils/network.py:4652-4751``)."""
@@ -97,7 +99,12 @@ def build_model_spec(
         "conv1_cls": qc.make_qspec(k("conv1_cls"), "conv", c2, 1, 3, 1, 1),
         "conv0_cls": qc.make_qspec(k("conv0_cls"), "conv", c1, 1, 3, 1, 1),
     }
-    return ModelSpec(ch=ch, channels=tuple(channels), specs=specs, seed_tag=seed_tag)
+    if entropy_mode not in ("channel", "spatio"):
+        raise ValueError(f"unknown entropy_mode: {entropy_mode}")
+    return ModelSpec(
+        ch=ch, channels=tuple(channels), specs=specs, seed_tag=seed_tag,
+        entropy_mode=entropy_mode,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -109,11 +116,12 @@ def init_params(spec: ModelSpec) -> dict:
     """Full trainable pytree. Residual kernels start at zero; entropy-model
     sigma at 1, mu at 0 (reference ``utils/network.py:4504-4512``)."""
     p = {name: qc.conv_init(s) for name, s in spec.specs.items()}
+    e_shape = (spec.ch,) if spec.entropy_mode == "channel" else spec.latent_shape
     return {
         "latent_gen": {"conv": p["latent_gen"], "gdn": gdn.gdn_init(spec.ch)},
         "entropy": {
-            "sigma": jnp.ones((spec.ch,), jnp.float32),
-            "mu": jnp.zeros((spec.ch,), jnp.float32),
+            "sigma": jnp.ones(e_shape, jnp.float32),
+            "mu": jnp.zeros(e_shape, jnp.float32),
         },
         "decoder": {
             "up0": p["up0"],
@@ -291,7 +299,8 @@ def get_network_bits(spec: ModelSpec, params: dict) -> float:
     )
     c = spec.channels
     aux_bits = sum(c[i] * 2 for i in (1, 2, 3)) * 32 + 32 + (c[1] ** 2 + c[1]) * 32
-    entropy_bits = spec.ch * 2 * 32  # sigma+mu fp32 (QuantGaussianLikelihood.get_bits)
+    n_entropy = spec.ch if spec.entropy_mode == "channel" else int(np.prod(spec.latent_shape))
+    entropy_bits = n_entropy * 2 * 32  # sigma+mu fp32 (QuantGaussianLikelihood.get_bits)
     return net_bits + aux_bits + entropy_bits
 
 

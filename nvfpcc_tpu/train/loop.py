@@ -274,7 +274,9 @@ def train(
 
     n_blocks = int(gt.shape[0])
     n_total_pts = float(gt.sum())
-    spec = M.build_model_spec(model_cfg.ch, model_cfg.channels, model_cfg.seed_tag)
+    spec = M.build_model_spec(
+        model_cfg.ch, model_cfg.channels, model_cfg.seed_tag, model_cfg.entropy_mode
+    )
 
     # With a mesh, pad the block axis to a multiple of the mesh size (GSPMD
     # needs even shards); padding rows are masked out of every loss term via
