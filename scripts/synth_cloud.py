@@ -45,11 +45,75 @@ def bumpy_sphere_cloud(
     return np.unique(pts, axis=0)
 
 
+def torus_cloud(
+    depth: int = 10,
+    radius: float = 0.30,
+    tube: float = 0.10,
+    samples: int = 8_000_000,
+    seed: int = 0,
+) -> np.ndarray:
+    """Torus surface: major radius ``radius``·size, tube ``tube``·size."""
+    size = 1 << depth
+    c = size / 2.0
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(0, 2 * np.pi, samples)
+    v = rng.uniform(0, 2 * np.pi, samples)
+    R, r = size * radius, size * tube
+    pts = np.stack(
+        [
+            c + (R + r * np.cos(v)) * np.cos(u),
+            c + (R + r * np.cos(v)) * np.sin(u),
+            c + r * np.sin(v),
+        ],
+        -1,
+    )
+    pts = np.clip(np.rint(pts), 0, size - 1).astype(np.int64)
+    return np.unique(pts, axis=0)
+
+
+def helix_cloud(
+    depth: int = 10,
+    radius: float = 0.28,
+    tube: float = 0.055,
+    turns: float = 3.0,
+    samples: int = 8_000_000,
+    seed: int = 0,
+) -> np.ndarray:
+    """Helical tube surface sweeping the cube vertically."""
+    size = 1 << depth
+    c = size / 2.0
+    rng = np.random.default_rng(seed)
+    t = rng.uniform(0, 1, samples)
+    v = rng.uniform(0, 2 * np.pi, samples)
+    R, r = size * radius, size * tube
+    ang = 2 * np.pi * turns * t
+    # helix center line
+    cx = c + R * np.cos(ang)
+    cy = c + R * np.sin(ang)
+    cz = size * 0.1 + size * 0.8 * t
+    # tube frame (approximate normal/binormal)
+    nx, ny = np.cos(ang), np.sin(ang)
+    pts = np.stack(
+        [
+            cx + r * np.cos(v) * nx,
+            cy + r * np.cos(v) * ny,
+            cz + r * np.sin(v),
+        ],
+        -1,
+    )
+    pts = np.clip(np.rint(pts), 0, size - 1).astype(np.int64)
+    return np.unique(pts, axis=0)
+
+
+SHAPES = {"sphere": bumpy_sphere_cloud, "torus": torus_cloud, "helix": helix_cloud}
+
+
 def main() -> None:
     from nvfpcc_tpu.io.ply import write_ply_points
 
     ap = argparse.ArgumentParser()
     ap.add_argument("out")
+    ap.add_argument("--shape", choices=sorted(SHAPES), default="sphere")
     ap.add_argument("--depth", type=int, default=10)
     ap.add_argument("--radius", type=float, default=0.25)
     ap.add_argument("--bumps", type=int, default=6)
@@ -58,9 +122,14 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    pts = bumpy_sphere_cloud(
-        args.depth, args.radius, args.bumps, args.amp, args.samples, args.seed
-    )
+    if args.shape == "sphere":
+        pts = bumpy_sphere_cloud(
+            args.depth, args.radius, args.bumps, args.amp, args.samples, args.seed
+        )
+    elif args.shape == "torus":
+        pts = torus_cloud(args.depth, args.radius, samples=args.samples, seed=args.seed)
+    else:
+        pts = helix_cloud(args.depth, args.radius, samples=args.samples, seed=args.seed)
     write_ply_points(args.out, pts, ascii=False)
     blocks = len(np.unique(pts >> (args.depth - 5), axis=0))
     print(f"{len(pts)} voxels, {blocks} level-5 blocks -> {args.out}")
