@@ -60,11 +60,13 @@ def main() -> None:
     idx_d, mask_d = jnp.asarray(idx), jnp.asarray(mask)
     key = jax.random.PRNGKey(0)
 
+    rd_w = T.rd_weights(cfg)
+
     def run_epoch(state):
         params, opt_state, emb, emb_opt_state = state
         out = epoch_fn(
             params, opt_state, emb, emb_opt_state, gt_d, dist_d, idx_d, mask_d,
-            block_valid, key,
+            block_valid, key, rd_w,
         )
         return out[:4], out[4]
 

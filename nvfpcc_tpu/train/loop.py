@@ -90,6 +90,13 @@ def batch_plan(n_blocks: int, batch_size: int, shuffle: str, seed: int, epoch: i
     )
 
 
+def rd_weights(cfg: TrainConfig) -> jnp.ndarray:
+    """(lambda, w1, w2) as a runtime array — passed into the jitted programs
+    as data, NOT baked as constants, so an RD sweep over lambda reuses one
+    compiled epoch program (compile-once, sweep-many)."""
+    return jnp.asarray([cfg.lmbda, cfg.w1, cfg.w2], jnp.float32)
+
+
 def rd_loss(
     spec: M.ModelSpec,
     cfg: TrainConfig,
@@ -102,13 +109,17 @@ def rd_loss(
     mode: str,
     q: int,
     key: Optional[jax.Array],
+    rd_w: Optional[jnp.ndarray] = None,
 ):
     """The reference's full RD objective + metrics (``NVFPCC.py:160-196``).
 
     ``gt_b``/``dist_b`` are (B, 32, 32, 32, 1) channels-last.
+    ``rd_w`` is the (lambda, w1, w2) array (defaults to cfg's values).
     Returns (loss, metrics dict).
     """
     out, cls_list, net_bits, latent_bits_pb = M.net_apply(spec, params, emb_b, mode, q, key)
+    if rd_w is None:
+        rd_w = rd_weights(cfg)
 
     if block_mask is not None:
         n_pts = (gt_b.reshape(gt_b.shape[0], -1).sum(1) * block_mask).sum()
@@ -120,7 +131,7 @@ def rd_loss(
     b_latent = latent_bits / n_pts
     b_net = net_bits.sum() / n_total_pts
     bpp = b_latent + b_net
-    bpp_loss = b_latent * cfg.w1 + b_net * cfg.w2
+    bpp_loss = b_latent * rd_w[1] + b_net * rd_w[2]
 
     ms = L.multiscale_gt(gt_b)
     ms_bce0 = L.focal_dense(cls_list[0], ms[0], alpha=cfg.ms_alpha, block_mask=block_mask)
@@ -128,7 +139,7 @@ def rd_loss(
     bce = L.surf_focal_dense(
         out, gt_b, dist_b, beta=cfg.beta, alpha=cfg.focal_alpha, block_mask=block_mask
     )
-    loss = bce + ms_bce0 + ms_bce1 + cfg.lmbda * bpp_loss
+    loss = bce + ms_bce0 + ms_bce1 + rd_w[0] * bpp_loss
 
     pacc, nacc = L.acc_dense(out, gt_b, block_mask=block_mask)
     sse, denom = L.sse1(out, gt_b, dist_b, cfg.sse_thh, block_mask=block_mask)
@@ -166,16 +177,16 @@ def make_epoch_fn(
     """One jitted epoch: scan of per-batch net updates, then the full-set
     embedding update. Compiled once per q phase."""
 
-    def net_loss(params, emb_b, gt_b, dist_b, mask, key):
+    def net_loss(params, emb_b, gt_b, dist_b, mask, key, rd_w):
         return rd_loss(
             spec, cfg, params, jax.lax.stop_gradient(emb_b), gt_b, dist_b, mask,
-            n_total_pts, "train", q, key,
+            n_total_pts, "train", q, key, rd_w,
         )
 
-    def emb_loss(emb, params, gt, dist, block_valid, key):
+    def emb_loss(emb, params, gt, dist, block_valid, key, rd_w):
         loss, _ = rd_loss(
             spec, cfg, jax.lax.stop_gradient(params), emb, gt, dist, block_valid,
-            n_total_pts, "train", q, key,
+            n_total_pts, "train", q, key, rd_w,
         )
         return loss
 
@@ -183,7 +194,8 @@ def make_epoch_fn(
     # device instead of being copied every epoch
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def epoch_fn(
-        params, opt_state, emb, emb_opt_state, gt, dist, idx, mask, block_valid, key
+        params, opt_state, emb, emb_opt_state, gt, dist, idx, mask, block_valid,
+        key, rd_w,
     ):
         n_batches = idx.shape[0]
         keys = jax.random.split(key, n_batches + 1)
@@ -195,7 +207,7 @@ def make_epoch_fn(
             dist_b = dist[bidx]
             emb_b = emb[bidx]
             (_, metrics), grads = jax.value_and_grad(net_loss, has_aux=True)(
-                params, emb_b, gt_b, dist_b, bmask, bkey
+                params, emb_b, gt_b, dist_b, bmask, bkey, rd_w
             )
             updates, opt_state = net_opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -206,7 +218,7 @@ def make_epoch_fn(
         )
 
         # full-set embedding update (reference NVFPCC.py:225-251)
-        emb_grads = jax.grad(emb_loss)(emb, params, gt, dist, block_valid, keys[-1])
+        emb_grads = jax.grad(emb_loss)(emb, params, gt, dist, block_valid, keys[-1], rd_w)
         emb_updates, emb_opt_state = emb_opt.update(emb_grads, emb_opt_state, emb)
         emb = optax.apply_updates(emb, emb_updates)
 
@@ -219,9 +231,10 @@ def make_eval_fn(spec: M.ModelSpec, cfg: TrainConfig, n_total_pts: float):
     """Full-set eval at q=2 rounded latents (reference ``NVFPCC.py:308-364``)."""
 
     @jax.jit
-    def eval_fn(params, emb, gt, dist, block_valid):
+    def eval_fn(params, emb, gt, dist, block_valid, rd_w):
         _, metrics = rd_loss(
-            spec, cfg, params, emb, gt, dist, block_valid, n_total_pts, "eval", 2, None
+            spec, cfg, params, emb, gt, dist, block_valid, n_total_pts, "eval", 2,
+            None, rd_w,
         )
         return metrics
 
@@ -315,6 +328,7 @@ def train(
     }
     eval_fn = make_eval_fn(spec, cfg, n_total_pts)
     base_key = jax.random.PRNGKey(cfg.seed)
+    rd_w = rd_weights(cfg)
 
     start_epoch = 0
     state = TrainState(params, opt_state, emb, emb_opt_state)
@@ -353,6 +367,7 @@ def train(
         params, opt_state, emb, emb_opt_state, metrics = epoch_fns[q](
             state.params, state.opt_state, state.emb, state.emb_opt_state,
             gt_d, dist_d, jnp.asarray(idx), jnp.asarray(mask), block_valid, key,
+            rd_w,
         )
         state = TrainState(params, opt_state, emb, emb_opt_state, epoch)
         s = summarize_metrics(jax.device_get(metrics))
@@ -376,7 +391,7 @@ def train(
 
         if epoch % cfg.eval_every == 0:
             es = summarize_metrics(
-                jax.device_get(eval_fn(params, emb, gt_d, dist_d, block_valid))
+                jax.device_get(eval_fn(params, emb, gt_d, dist_d, block_valid, rd_w))
             )
             log(
                 f"[Epoch {epoch:04d} TEST] Loss: {es['loss']:.4e} "
