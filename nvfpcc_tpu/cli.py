@@ -185,7 +185,7 @@ def cmd_encode(args) -> int:
         f"| recon {s['n_points_rec']} pts"
     )
     if args.recon:
-        write_ply_points(args.recon, result.points)
+        write_ply_points(args.recon, result.points, ascii=False)
         print(f"[encode] wrote {args.recon}")
     return 0
 
@@ -256,7 +256,7 @@ def cmd_decode(args) -> int:
         f"@ thh {info['thh']} in {time.time() - t0:.1f}s"
     )
     if args.recon:
-        write_ply_points(args.recon, points)
+        write_ply_points(args.recon, points, ascii=False)
         print(f"[decode] wrote {args.recon}")
     return 0
 
