@@ -336,9 +336,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    from nvfpcc_tpu.utils.cache import enable_compilation_cache
+    from nvfpcc_tpu.utils.cache import enable_compilation_cache, enable_hang_diagnostics
 
     enable_compilation_cache()
+    enable_hang_diagnostics()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -46,9 +46,10 @@ def handle(req: dict) -> dict:
 
 
 def serve(stream_in=None, stream_out=None) -> None:
-    from nvfpcc_tpu.utils.cache import enable_compilation_cache
+    from nvfpcc_tpu.utils.cache import enable_compilation_cache, enable_hang_diagnostics
 
     enable_compilation_cache()
+    enable_hang_diagnostics()
     stream_in = stream_in if stream_in is not None else sys.stdin
     stream_out = stream_out if stream_out is not None else sys.stdout
     for line in stream_in:

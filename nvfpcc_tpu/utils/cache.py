@@ -14,6 +14,21 @@ import os
 _DEFAULT_DIR = os.path.expanduser("~/.cache/nvfpcc_tpu/xla")
 
 
+def enable_hang_diagnostics() -> None:
+    """Register SIGUSR1 to dump all Python thread stacks to stderr.
+
+    Long runs through the TPU tunnel can wedge inside a device call with no
+    visible state; `kill -USR1 <pid>` then shows where every thread is
+    blocked. Registered by the CLI/server/sweep entry points."""
+    import faulthandler
+    import signal
+
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (AttributeError, ValueError):
+        pass  # non-main thread or platform without SIGUSR1
+
+
 def enable_compilation_cache(directory: str | None = None) -> None:
     """Idempotently enable the on-disk compilation cache. Call before the
     first jit execution (importing jax is fine)."""

@@ -44,9 +44,10 @@ def main() -> None:
     from nvfpcc_tpu.io.ply import read_ply_points
     from nvfpcc_tpu.metrics import d1_psnr
     from nvfpcc_tpu.train.loop import train
-    from nvfpcc_tpu.utils.cache import enable_compilation_cache
+    from nvfpcc_tpu.utils.cache import enable_compilation_cache, enable_hang_diagnostics
 
     enable_compilation_cache()
+    enable_hang_diagnostics()
     os.makedirs(args.workdir, exist_ok=True)
     art = load_or_build_artifacts(args.cloud, args.depth, args.level)
     n_points = int(art["gt"].sum())
