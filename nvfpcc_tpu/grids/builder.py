@@ -52,36 +52,8 @@ def _grids_kernel(rel_pts, rel_origins, dims, block, radius):
     return occ_b.astype(jnp.uint8), jnp.sqrt(sq_b.astype(jnp.float32))
 
 
-def build_block_grids(
-    points: np.ndarray,
-    origins: np.ndarray,
-    block: int = 32,
-    radius: int | None = None,
-    platform: str | None = "cpu",
-):
-    """Build (gt_grid uint8 (N,B,B,B), dist float32 (N,B,B,B)).
-
-    ``points``: (P, 3) integer voxel coordinates. ``origins``: (N, 3) block
-    origins (multiples of ``block``).
-
-    ``platform``: backend for the one-shot preprocessing program. Default
-    "cpu": the grid dims change per cloud, so every cloud is a fresh XLA
-    compile, and a TPU compile through the axon tunnel costs 60-90 s vs
-    seconds on host while the execution itself is ~1 s either way. Pass
-    ``None`` to use the ambient default device (e.g. for vox11-scale grids
-    where host execution would dominate).
-    """
-    pts = np.asarray(points, dtype=np.int64)
-    orgs = np.asarray(origins, dtype=np.int64)
-    if radius is None:
-        radius = _block_radius(block)
-
-    # Bounding grid over all leaf blocks, padded by the clamp radius so the
-    # window never reads out of bounds of real data, then aligned.
-    lo = orgs.min(axis=0) - radius
-    hi = orgs.max(axis=0) + block + radius
-    dims = hi - lo
-    dims = ((dims + _ALIGN - 1) // _ALIGN) * _ALIGN
+def _one_grid(pts, orgs, lo, dims, block, radius, platform):
+    """One _grids_kernel invocation on the chosen backend."""
 
     def run():
         # inputs must be created under the target device context — a
@@ -100,6 +72,87 @@ def build_block_grids(
         with jax.default_device(jax.local_devices(backend=platform)[0]):
             gt, dist = run()
     return np.asarray(gt), np.asarray(dist)
+
+
+def build_block_grids(
+    points: np.ndarray,
+    origins: np.ndarray,
+    block: int = 32,
+    radius: int | None = None,
+    platform: str | None = "cpu",
+    max_grid_bytes: int = 2 << 30,
+):
+    """Build (gt_grid uint8 (N,B,B,B), dist float32 (N,B,B,B)).
+
+    ``points``: (P, 3) integer voxel coordinates. ``origins``: (N, 3) block
+    origins (multiples of ``block``).
+
+    ``platform``: backend for the one-shot preprocessing program. Default
+    "cpu": the grid dims change per cloud, so every cloud is a fresh XLA
+    compile, and a TPU compile through the axon tunnel costs 60-90 s vs
+    seconds on host while the execution itself is ~1 s either way. Pass
+    ``None`` to use the ambient default device (e.g. for vox11-scale grids
+    where host execution would dominate).
+
+    When the bounding grid exceeds ``max_grid_bytes`` (vox11+ scale: a full
+    2048^3 region would need ~35 GB), the volume is processed in z-slabs of
+    whole blocks with a ``radius`` halo. The window-clamped EDT's support is
+    bounded by ``radius`` per axis, so slab results are exact — and every
+    slab is padded to one common shape, so XLA compiles a single program.
+    """
+    pts = np.asarray(points, dtype=np.int64)
+    orgs = np.asarray(origins, dtype=np.int64)
+    if radius is None:
+        radius = _block_radius(block)
+
+    # Bounding grid over all leaf blocks, padded by the clamp radius so the
+    # window never reads out of bounds of real data, then aligned.
+    lo = orgs.min(axis=0) - radius
+    hi = orgs.max(axis=0) + block + radius
+    dims = ((hi - lo + _ALIGN - 1) // _ALIGN) * _ALIGN
+
+    if int(np.prod(dims)) * 4 <= max_grid_bytes:
+        return _one_grid(pts, orgs, lo, dims, block, radius, platform)
+
+    # --- slab-tiled path ---
+    zs = np.unique(orgs[:, 2])
+    # z-extent of one slab (in block origins) so that the slab grid fits
+    xy_cells = int(dims[0] * dims[1])
+    z_budget = max(block, int(max_grid_bytes // (4 * xy_cells)) - 2 * radius)
+    z_budget = (z_budget // block) * block or block
+    bands = []
+    z0 = int(zs.min())
+    z_end = int(zs.max())
+    while z0 <= z_end:
+        sel = (orgs[:, 2] >= z0) & (orgs[:, 2] < z0 + z_budget)
+        if sel.any():
+            bands.append(sel)
+        z0 += z_budget
+
+    # common slab shape + common point capacity -> one compiled program
+    slab_dims = np.array(
+        [dims[0], dims[1], ((z_budget + 2 * radius + _ALIGN - 1) // _ALIGN) * _ALIGN]
+    )
+    max_pts = 0
+    band_data = []
+    for sel in bands:
+        o_b = orgs[sel]
+        z_lo = int(o_b[:, 2].min()) - radius
+        p_sel = (pts[:, 2] >= z_lo) & (pts[:, 2] < z_lo + slab_dims[2])
+        band_data.append((sel, o_b, p_sel, z_lo))
+        max_pts = max(max_pts, int(p_sel.sum()))
+
+    gt = np.empty((len(orgs), block, block, block), np.uint8)
+    dist = np.empty((len(orgs), block, block, block), np.float32)
+    for sel, o_b, p_sel, z_lo in band_data:
+        lo_b = np.array([lo[0], lo[1], z_lo])
+        p_b = pts[p_sel]
+        if len(p_b) < max_pts:  # pad with a repeated point (idempotent scatter)
+            p_b = np.concatenate([p_b, np.repeat(p_b[:1], max_pts - len(p_b), 0)])
+        g_b, d_b = _one_grid(p_b, o_b, lo_b, slab_dims, block, radius, platform)
+        gt[sel] = g_b
+        dist[sel] = d_b
+    return gt, dist
 
 
 def build_artifacts(points, depth: int = 10, level: int = 5, platform: str | None = "cpu"):
