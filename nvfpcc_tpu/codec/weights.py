@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nvfpcc_tpu.coder import huffman
-from nvfpcc_tpu.models.decoder import TRANSMITTED_KERNELS, ModelSpec
+from nvfpcc_tpu.models.decoder import TRANSMITTED_KERNELS
 
 # as-is (fp32, uncoded) leaves of the decode pytree: path -> copied verbatim
 _AS_IS_KEYS = tuple(f"{n}/b" for n in TRANSMITTED_KERNELS) + (

@@ -19,8 +19,6 @@ is realized as a fixed-shape masked batch on TPU).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
