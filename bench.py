@@ -70,15 +70,20 @@ def main() -> None:
         )
         return out[:4], out[4]
 
+    def sync(state):
+        # under the remote-TPU tunnel block_until_ready does not reliably
+        # wait; fetching a scalar to host does (CLAUDE.md "environment facts")
+        np.asarray(jax.tree_util.tree_leaves(state)[0].reshape(-1)[:1])
+
     state = (params, opt_state, emb, emb_opt_state)
     for _ in range(WARMUP_EPOCHS):
         state, metrics = run_epoch(state)
-    jax.block_until_ready(state)
+    sync(state)
 
     t0 = time.perf_counter()
     for _ in range(TIMED_EPOCHS):
         state, metrics = run_epoch(state)
-    jax.block_until_ready(state)
+    sync(state)
     epoch_ms = (time.perf_counter() - t0) / TIMED_EPOCHS * 1000.0
 
     print(
