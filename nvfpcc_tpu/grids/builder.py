@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nvfpcc_tpu.grids.edt import squared_edt_3d
+from nvfpcc_tpu.grids.edt import squared_edt_3d_impl, use_pallas_edt
 
 _ALIGN = 8  # pad bbox dims to multiples of this to bound recompilation
 
@@ -33,13 +33,13 @@ def _block_radius(block: int) -> int:
     return int(math.ceil(math.sqrt(3.0) * (block - 1))) + 1
 
 
-@partial(jax.jit, static_argnames=("dims", "block", "radius"))
-def _grids_kernel(rel_pts, rel_origins, dims, block, radius):
+@partial(jax.jit, static_argnames=("dims", "block", "radius", "pallas"))
+def _grids_kernel(rel_pts, rel_origins, dims, block, radius, pallas):
     """Scatter + EDT + per-block crops as ONE program: a single device
     dispatch (the axon TPU tunnel charges per eager op round-trip)."""
     occ = jnp.zeros(dims, jnp.bool_)
     occ = occ.at[rel_pts[:, 0], rel_pts[:, 1], rel_pts[:, 2]].set(True)
-    sq = squared_edt_3d(occ, radius)
+    sq = squared_edt_3d_impl(occ, radius, pallas)
 
     def crop(o):
         start = (o[0], o[1], o[2])
@@ -54,6 +54,7 @@ def _grids_kernel(rel_pts, rel_origins, dims, block, radius):
 
 def _one_grid(pts, orgs, lo, dims, block, radius, platform):
     """One _grids_kernel invocation on the chosen backend."""
+    pallas = use_pallas_edt(platform)
 
     def run():
         # inputs must be created under the target device context — a
@@ -64,6 +65,7 @@ def _one_grid(pts, orgs, lo, dims, block, radius, platform):
             tuple(int(d) for d in dims),
             int(block),
             int(radius),
+            pallas,
         )
 
     if platform is None:
@@ -80,7 +82,7 @@ def build_block_grids(
     block: int = 32,
     radius: int | None = None,
     platform: str | None = "cpu",
-    max_grid_bytes: int = 2 << 30,
+    max_grid_bytes: int | None = None,
 ):
     """Build (gt_grid uint8 (N,B,B,B), dist float32 (N,B,B,B)).
 
@@ -104,6 +106,11 @@ def build_block_grids(
     orgs = np.asarray(origins, dtype=np.int64)
     if radius is None:
         radius = _block_radius(block)
+    if max_grid_bytes is None:
+        # the Pallas EDT keeps no temporaries (6x-grid total traffic), so it
+        # handles much larger single grids than the XLA path, whose ~58
+        # materialized slices cap it tightly
+        max_grid_bytes = (3 << 30) if use_pallas_edt(platform) else (2 << 30)
 
     # Bounding grid over all leaf blocks, padded by the clamp radius so the
     # window never reads out of bounds of real data, then aligned.
@@ -155,12 +162,64 @@ def build_block_grids(
     return gt, dist
 
 
-def build_artifacts(points, depth: int = 10, level: int = 5, platform: str | None = "cpu"):
+def validate_dist_grids(
+    points: np.ndarray,
+    origins: np.ndarray,
+    dist: np.ndarray,
+    block: int,
+    radius: int | None = None,
+    n_probes: int = 256,
+    seed: int = 0,
+) -> None:
+    """Probe-check distance grids against brute-force NN (host numpy).
+
+    Guardrail against device miscompiles: the XLA EDT has been observed to
+    produce phantom-close distances on TPU for some program shapes (see
+    RESULTS.md). Samples ``n_probes`` random block voxels and verifies each
+    against an exact NN search over the cloud. Raises on any mismatch.
+    Cost: a few seconds per cloud — preprocessing runs once.
+    """
+    pts = np.asarray(points, np.int64)
+    orgs = np.asarray(origins, np.int64)
+    if radius is None:
+        radius = _block_radius(block)
+    cap_sq = radius * radius + 1
+    rng = np.random.default_rng(seed)
+    bi = rng.integers(0, len(orgs), n_probes)
+    vi = rng.integers(0, block, (n_probes, 3))
+    for t in range(n_probes):
+        p = orgs[bi[t]] + vi[t]
+        best = cap_sq
+        for c in range(0, len(pts), 500_000):
+            d = int(((pts[c : c + 500_000] - p) ** 2).sum(1).min())
+            best = min(best, d)
+        want_sq = min(best, cap_sq)
+        got = float(dist[bi[t], vi[t, 0], vi[t, 1], vi[t, 2]])
+        # distances are sqrt(int); compare the squared integers so 1-ulp
+        # f32 sqrt differences between device and host don't false-alarm
+        if int(round(got * got)) != want_sq:
+            raise RuntimeError(
+                f"distance-grid validation failed at block {bi[t]} voxel "
+                f"{tuple(vi[t])}: got {got} (d^2~{got*got:.2f}), brute force "
+                f"d^2={want_sq} — device EDT miscompile?"
+            )
+
+
+def build_artifacts(
+    points,
+    depth: int = 10,
+    level: int = 5,
+    platform: str | None = "cpu",
+    validate: bool = True,
+):
     """Full preprocessing: origins + gt + dist (the reference's three .npy
-    artifacts, ``util_get_grids.py:16-46``)."""
+    artifacts, ``util_get_grids.py:16-46``). ``validate`` probe-checks the
+    distance field against brute force (cheap; see validate_dist_grids)."""
     from nvfpcc_tpu.octree.partition import leaf_origins
 
     block = 1 << (depth - level)
     origins = leaf_origins(points, depth, level)
     gt, dist = build_block_grids(points, origins, block, platform=platform)
+    if validate:
+        validate_dist_grids(points, origins, dist, block)
     return origins, gt, dist

@@ -56,6 +56,13 @@ def squared_edt_3d(occ: jnp.ndarray, radius: int) -> jnp.ndarray:
 
     ``occ`` is (D, H, W) bool/int; returns int32 squared distances, saturated
     at ``radius^2 + 1`` (exact wherever the true distance <= radius).
+
+    This is the XLA implementation — use it on CPU. On TPU use
+    :func:`squared_edt_3d_best` (the Pallas kernel): the XLA lowering there
+    (a) materializes every shifted slice (~58x the grid in HBM) and
+    (b) has been observed to MISCOMPILE for some shapes (phantom-close
+    distances; see RESULTS.md). The grids builder additionally probe-checks
+    its output against brute force.
     """
     cap = jnp.int32(radius * radius + 1)
     f = jnp.where(occ.astype(bool), jnp.int32(0), cap)
@@ -66,6 +73,25 @@ def squared_edt_3d(occ: jnp.ndarray, radius: int) -> jnp.ndarray:
     # pass along D
     f = jnp.swapaxes(_minplus_pass_1d(jnp.swapaxes(f, 0, 2), radius, cap), 0, 2)
     return f
+
+
+def use_pallas_edt(platform) -> bool:
+    """Whether the Pallas EDT should be used for the given target platform
+    (None = ambient default backend). Decided on HOST, threaded into jitted
+    programs as a static arg — the choice must not depend on trace context."""
+    if platform is not None:
+        return platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
+def squared_edt_3d_impl(occ: jnp.ndarray, radius: int, pallas: bool) -> jnp.ndarray:
+    """Exact EDT via the chosen implementation: Pallas kernel on TPU
+    (single-read, single-write per pass; no giant temporaries), XLA else."""
+    if pallas:
+        from nvfpcc_tpu.ops.pallas.edt_pallas import squared_edt_3d_pallas
+
+        return squared_edt_3d_pallas(occ, radius)
+    return squared_edt_3d(occ, radius)
 
 
 def brute_force_sq_dist(voxels: np.ndarray, points: np.ndarray) -> np.ndarray:

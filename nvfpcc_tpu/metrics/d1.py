@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nvfpcc_tpu.grids.edt import squared_edt_3d
+from nvfpcc_tpu.grids.edt import squared_edt_3d_impl, use_pallas_edt
 
 _ALIGN = 8
 
@@ -35,11 +35,13 @@ def _nn_sq_dists(
     hi = np.maximum(from_pts.max(0), to_pts.max(0)) + 2
     dims = tuple(int(d) for d in ((hi - lo + radius * 2 + _ALIGN - 1) // _ALIGN) * _ALIGN)
 
+    pallas = use_pallas_edt(platform)
+
     def run():
         occ = jnp.zeros(dims, jnp.bool_)
         rel_to = jnp.asarray(to_pts - lo + radius, jnp.int32)
         occ = occ.at[rel_to[:, 0], rel_to[:, 1], rel_to[:, 2]].set(True)
-        sq = squared_edt_3d(occ, radius)
+        sq = squared_edt_3d_impl(occ, radius, pallas)
         rel_from = jnp.asarray(from_pts - lo + radius, jnp.int32)
         return sq[rel_from[:, 0], rel_from[:, 1], rel_from[:, 2]]
 
