@@ -9,6 +9,7 @@ from nvfpcc_tpu.codec.codec import (  # noqa: F401
     extract_points,
     load_pack,
     reconstruct_all,
+    reconstruct_points,
     save_pack,
 )
 from nvfpcc_tpu.codec.weights import (  # noqa: F401

@@ -133,3 +133,34 @@ class TestCodecRoundtrip:
         assert np.array_equal(p1, p2)
         # block-major ordering
         assert (np.diff(np.searchsorted(p1[:, 1], [0])) >= 0).all()
+
+
+class TestDevicePointExtraction:
+    def test_reconstruct_points_matches_host_path(self, trained):
+        """Device-side compaction must reproduce the fetch+argwhere path
+        exactly (same values, same order)."""
+        import jax.numpy as jnp
+
+        spec = trained["spec"]
+        state = trained["state"]
+        qparams = W.quantize_residuals(state.params, 16)
+        pack = W.pack_weights(qparams, 16)
+        rebuilt = W.unpack_weights(pack)
+        rng = np.random.default_rng(0)
+        latents = np.rint(rng.normal(0, 2, (len(trained["origins"]),) + spec.latent_shape)).astype(np.float32)
+        for thh in (0.3, 0.5, 0.9):
+            occ = codec.reconstruct_all(spec, rebuilt, latents)
+            want = codec.extract_points(occ, trained["origins"], thh)
+            got = codec.reconstruct_points(spec, rebuilt, latents, trained["origins"], thh)
+            assert got.shape == want.shape
+            assert np.array_equal(got, want), f"thh={thh}"
+
+    def test_empty_latents(self, trained):
+        spec = trained["spec"]
+        qparams = W.quantize_residuals(trained["state"].params, 16)
+        rebuilt = W.unpack_weights(W.pack_weights(qparams, 16))
+        out = codec.reconstruct_points(
+            spec, rebuilt, np.zeros((0,) + spec.latent_shape, np.float32),
+            np.zeros((0, 3), np.int64), 0.5,
+        )
+        assert out.shape == (0, 3)
