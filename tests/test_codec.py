@@ -164,3 +164,25 @@ class TestDevicePointExtraction:
             np.zeros((0, 3), np.int64), 0.5,
         )
         assert out.shape == (0, 3)
+
+
+class TestWeightEntropyCodecs:
+    def test_range_mode_roundtrip_and_smaller(self, trained):
+        qparams = W.quantize_residuals(trained["state"].params, 16)
+        p_range = W.pack_weights(qparams, 16, entropy="range")
+        p_huff = W.pack_weights(qparams, 16, entropy="huffman")
+        r1 = W.unpack_weights(p_range)
+        r2 = W.unpack_weights(p_huff)
+        for name in M.TRANSMITTED_KERNELS:
+            assert np.array_equal(
+                np.asarray(r1["decoder"][name]["kernel"]),
+                np.asarray(r2["decoder"][name]["kernel"]),
+            ), name
+        bits_r, _ = W.weight_pack_bits(p_range)
+        bits_h, _ = W.weight_pack_bits(p_huff)
+        assert bits_r <= bits_h  # range coding beats (or ties) Huffman
+
+    def test_unknown_mode_rejected(self, trained):
+        qparams = W.quantize_residuals(trained["state"].params, 16)
+        with pytest.raises(ValueError):
+            W.pack_weights(qparams, 16, entropy="banana")
