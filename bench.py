@@ -2,7 +2,10 @@
 configuration (longdress_vox10 scale: 917 leaf blocks of 32^3, batch 16,
 per-batch net updates + the full-set embedding update).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+secondary keys "encode_ms"/"decode_ms" — warm-path codec latency at the same
+scale (the north-star pipeline is train+encode+decode; the epoch number alone
+hides where encode/decode time goes).
 
 vs_baseline: the reference publishes no timings (BASELINE.md); the driver's
 north star is "full 501-epoch train+encode+decode < 10 min on v5e-8, >= 20x
@@ -86,6 +89,8 @@ def main() -> None:
     sync(state)
     epoch_ms = (time.perf_counter() - t0) / TIMED_EPOCHS * 1000.0
 
+    encode_ms, decode_ms = codec_latency(mcfg, state[0], np.asarray(state[2]))
+
     print(
         json.dumps(
             {
@@ -93,9 +98,49 @@ def main() -> None:
                 "value": round(epoch_ms, 2),
                 "unit": "ms",
                 "vs_baseline": round(REF_EPOCH_MS / epoch_ms, 2),
+                "encode_ms": round(encode_ms, 2),
+                "decode_ms": round(decode_ms, 2),
             }
         )
     )
+
+
+def synthetic_origins(n_blocks: int, depth: int = 10, level: int = 5, seed: int = 1):
+    """n_blocks distinct leaf origins in canonical traversal order."""
+    from nvfpcc_tpu.octree.partition import leaf_origins
+
+    rng = np.random.default_rng(seed)
+    block = 1 << (depth - level)
+    pts = rng.integers(0, 1 << level, (4 * n_blocks, 3)) * block
+    origins = leaf_origins(pts.astype(np.int64), depth, level)
+    if len(origins) < n_blocks:
+        raise RuntimeError("synthetic origin pool too small")
+    return origins[:n_blocks]
+
+
+def codec_latency(mcfg, params, emb):
+    """(encode_ms, decode_ms) on the warm path (second call each; the first
+    pays compile, absorbed by the persistent cache across runs)."""
+    from nvfpcc_tpu import codec
+    from nvfpcc_tpu.config import CodecConfig
+
+    origins = synthetic_origins(emb.shape[0])
+    ccfg = CodecConfig()
+    n_pts = 875_031  # flagship-scale source point count (bpp denominator only)
+
+    def enc():
+        return codec.encode(params, emb, origins, mcfg, ccfg, n_pts)
+
+    result = enc()  # warm-up: compiles/caches the shared recon program
+    pack = result.pack
+    codec.decode(pack)
+    t0 = time.perf_counter()
+    result = enc()
+    encode_ms = (time.perf_counter() - t0) * 1000.0
+    t0 = time.perf_counter()
+    codec.decode(result.pack)
+    decode_ms = (time.perf_counter() - t0) * 1000.0
+    return encode_ms, decode_ms
 
 
 if __name__ == "__main__":

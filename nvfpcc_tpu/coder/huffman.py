@@ -6,7 +6,9 @@ empirical histogram, and the symbol stream is bit-packed. The reference uses
 the ``bitstream`` pip package and a per-bit string decoder
 (``util_code_quantized_weights.py:108-148``); here packing is vectorized
 ``np.packbits`` and decoding walks a canonical code table — no external
-dependency, O(n) decode.
+dependency. Decode is a per-bit Python loop (O(total code bits)) — fine at
+the ~51k-symbol weight scale this is used for; the range-coder path has
+replaced it as the default weight codec.
 
 The codebook is serialized in *canonical* form (symbol list + code lengths),
 which is both smaller than the reference's pickled dict-of-bitstrings and

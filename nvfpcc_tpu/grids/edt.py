@@ -80,8 +80,12 @@ def use_pallas_edt(platform) -> bool:
     (None = ambient default backend). Decided on HOST, threaded into jitted
     programs as a static arg — the choice must not depend on trace context."""
     if platform is not None:
-        return platform == "tpu"
-    return jax.default_backend() == "tpu"
+        return platform != "cpu"
+    # Any non-CPU backend takes the Pallas path: the deployed TPU plugin may
+    # report a platform name other than "tpu" (the site pins JAX_PLATFORMS to
+    # a tunnel plugin), and the XLA lowering is the one known to miscompile
+    # on device (RESULTS.md) — route by "not cpu", not by name equality.
+    return jax.default_backend() != "cpu"
 
 
 def squared_edt_3d_impl(occ: jnp.ndarray, radius: int, pallas: bool) -> jnp.ndarray:

@@ -78,7 +78,12 @@ def acc_dense(pred, gt, thh: float = 0.5, block_mask=None):
     ap = mask.sum()
     tn = ((pred <= thh) & imask).sum()
     an = imask.sum()
-    return tp / ap, tn / an
+    # all-empty / all-occupied batches have an empty denominator; report
+    # accuracy 1 over zero voxels rather than nan (sweep-metric hygiene)
+    return (
+        jnp.where(ap > 0, tp / jnp.maximum(ap, 1), 1.0),
+        jnp.where(an > 0, tn / jnp.maximum(an, 1), 1.0),
+    )
 
 
 def sse1(pred, gt, dist, thh: float, block_mask=None):
