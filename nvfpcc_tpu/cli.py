@@ -87,8 +87,13 @@ def _add_model(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ch", type=int, default=3, help="latent channels")
     p.add_argument("--chanstr", type=str, default="8,16,8,8", help="decoder channels")
     p.add_argument(
-        "--entropy_mode", choices=("channel", "spatio"), default="channel",
-        help="latent entropy model granularity (per-channel or per-position)",
+        "--entropy_mode",
+        choices=("channel", "spatio", "ctx", "gmm", "factorized"),
+        default="channel",
+        help="latent entropy model: per-channel (sigma,mu); per-position "
+        "(spatio); autoregressive masked-conv context prediction (ctx); "
+        "per-channel 2-component Gaussian mixture (gmm); per-channel "
+        "factorized logit-CDF MLP (factorized)",
     )
 
 
@@ -152,9 +157,16 @@ def _load_train_state(args, n_blocks: int):
         if path is None:
             raise SystemExit(f"no checkpoints in {args.load_checkpoint}")
     params, emb = C.load_checkpoint(path)
-    if emb is None or emb.shape[0] < n_blocks:
-        raise SystemExit(f"checkpoint {path} has no/short embeddings")
-    return params, emb[:n_blocks]
+    if emb is None:
+        raise SystemExit(f"checkpoint {path} has no embeddings")
+    if emb.shape[0] != n_blocks:
+        raise SystemExit(
+            f"checkpoint {path} has {emb.shape[0]} embedding rows but the cloud "
+            f"partitions into {n_blocks} blocks — depth/level or artifact "
+            "mismatch with the training run (latent rows would map to the "
+            "wrong blocks)"
+        )
+    return params, emb
 
 
 def cmd_encode(args) -> int:

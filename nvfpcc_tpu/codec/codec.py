@@ -39,7 +39,25 @@ from nvfpcc_tpu.coder import range_coder as RC
 from nvfpcc_tpu.config import CodecConfig, ModelConfig
 from nvfpcc_tpu.models import decoder as M
 
-PACK_FORMAT_VERSION = 2
+# v3: range-coded weight residuals (mode="range") + context-model latent
+# packs (latent_pack mode="ctx"). v2 = Huffman weights, channel/spatio
+# latents, octree origins. v1 = raw int16 origins. All decodable.
+PACK_FORMAT_VERSION = 3
+_DECODABLE_VERSIONS = (1, 2, 3)
+
+# One jitted reconstruct per model spec (keyed by its static identity): a
+# warm process re-traces nothing across encode/decode/serve requests
+# (round-1 rebuilt the jit per call, costing a re-trace + lowering each time).
+_RECON_JIT_CACHE: dict = {}
+
+
+def _recon_fn(spec: M.ModelSpec):
+    key = (spec.ch, spec.channels, spec.seed_tag, spec.entropy_mode)
+    fn = _RECON_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda p, l: M.reconstruct(spec, p, l, q=2))
+        _RECON_JIT_CACHE[key] = fn
+    return fn
 
 
 def encode_origins(origins: np.ndarray, depth: int, level: int) -> dict:
@@ -72,6 +90,20 @@ def decode_origins(payload, depth: int, level: int) -> np.ndarray:
     return OT.occupancy_to_origins(s, depth, level, with_leaf_children=False)
 
 
+def _model_latent_tables(mode: str, params: dict, ch: int) -> np.ndarray:
+    """Per-channel integer CDF tables for the gmm/factorized latent modes,
+    built from the exact f32 params that travel in the pack (both sides call
+    this same function — the determinism contract of docs/FORMAT.md)."""
+    if mode == "gmm":
+        return RC.build_cum_tables_gmm(
+            np.asarray(params["sigma"]), np.asarray(params["mu"]),
+            np.asarray(params["p_logit"]),
+        )
+    if mode == "factorized":
+        return RC.build_cum_tables_factorized(params, ch)
+    raise ValueError(f"unknown latent table mode: {mode}")
+
+
 @dataclass
 class EncodeResult:
     pack: dict
@@ -89,7 +121,7 @@ def reconstruct_all(
     jitted decode forward (pad-to-fixed-batch so XLA compiles once)."""
     n = latents.shape[0]
     batch = min(batch, max(n, 1))
-    fn = jax.jit(lambda p, l: M.reconstruct(spec, p, l, q=2))
+    fn = _recon_fn(spec)
     outs = []
     for i in range(0, n, batch):
         chunk = latents[i : i + batch]
@@ -126,7 +158,7 @@ def reconstruct_points(
     if n == 0:
         return np.zeros((0, 3), np.int64)
     batch = min(batch, n)
-    fn = jax.jit(lambda p, l: M.reconstruct(spec, p, l, q=2))
+    fn = _recon_fn(spec)
     chunks = []
     for i in range(0, n, batch):
         chunk = latents[i : i + batch]
@@ -188,25 +220,68 @@ def encode(
 
     # [LATENTS] integer latents + per-channel Gaussian range coding
     # (NVFPCC.py:444-477); round-trip asserted inside encode_latents.
-    code = jax.jit(lambda p, e: M.get_latent_code(spec, p, e))(
-        qparams, jnp.asarray(emb, jnp.float32)
-    )
+    key = ("latent_code", spec.ch, spec.channels, spec.seed_tag, spec.entropy_mode)
+    code_fn = _RECON_JIT_CACHE.get(key)
+    if code_fn is None:
+        code_fn = jax.jit(lambda p, e: M.get_latent_code(spec, p, e))
+        _RECON_JIT_CACHE[key] = code_fn
+    code = code_fn(qparams, jnp.asarray(emb, jnp.float32))
     lat_int = np.rint(np.asarray(code["quantized_latent"], np.float64)).astype(np.int64)
-    # clamp to the codable alphabet (reference maps into [0,1024] the same
-    # way, NVFPCC.py:447-449); both sides reconstruct from the clamped ints,
-    # so parity is unaffected — but warn, because it means training drifted.
-    lo, hi = -RC.OFFSET, RC.N_SYM - RC.OFFSET - 1
-    n_out = int(((lat_int < lo) | (lat_int > hi)).sum())
-    if n_out:
-        import warnings
+    if spec.entropy_mode == "ctx":
+        # context-model path (format v3): per-symbol tables derive from the
+        # decoded prefix via the integer-exact host predictor; residual
+        # clamping (if any) is applied in encoder/decoder lockstep inside
+        # encode_latents_ctx.
+        from nvfpcc_tpu.coder import ctx_coder as CTX
 
-        warnings.warn(
-            f"{n_out} latent(s) outside the codable range [{lo}, {hi}] were clamped"
-        )
-        lat_int = np.clip(lat_int, lo, hi)
-    latent_pack = RC.encode_latents(
-        lat_int, np.asarray(code["sigma"]), np.asarray(code["mu"])
-    )
+        ctx_payload = CTX.build_ctx_payload(spec, qparams["entropy"])
+        ctx_ints = CTX.ctx_ints_from_payload(spec, ctx_payload)
+        enc = CTX.encode_latents_ctx(lat_int, ctx_ints)
+        if enc["n_clamped"]:
+            import warnings
+
+            warnings.warn(
+                f"{enc['n_clamped']} ctx latent residual(s) clamped to the alphabet"
+            )
+        rt = CTX.decode_latents_ctx(enc["stream"], enc["shape"], ctx_ints)
+        assert np.array_equal(rt, enc["coded"]), "ctx range coder round-trip failed"
+        lat_int = enc["coded"]
+        latent_pack = {
+            "mode": "ctx",
+            "stream": enc["stream"],
+            "shape": enc["shape"],
+            "ctx": ctx_payload,
+        }
+        latent_extra_bits = CTX.ctx_payload_bits(ctx_payload)
+    else:
+        # clamp to the codable alphabet (reference maps into [0,1024] the same
+        # way, NVFPCC.py:447-449); both sides reconstruct from the clamped ints,
+        # so parity is unaffected — but warn, because it means training drifted.
+        lo, hi = -RC.OFFSET, RC.N_SYM - RC.OFFSET - 1
+        n_out = int(((lat_int < lo) | (lat_int > hi)).sum())
+        if n_out:
+            import warnings
+
+            warnings.warn(
+                f"{n_out} latent(s) outside the codable range [{lo}, {hi}] were clamped"
+            )
+            lat_int = np.clip(lat_int, lo, hi)
+        if spec.entropy_mode in ("gmm", "factorized"):
+            ep = {
+                k: np.asarray(v, np.float32) for k, v in qparams["entropy"].items()
+            }
+            cum = _model_latent_tables(spec.entropy_mode, ep, spec.ch)
+            latent_pack = {
+                "mode": spec.entropy_mode,
+                "params": ep,
+                **RC.encode_latents_tables(lat_int, cum),
+            }
+            latent_extra_bits = 32 * sum(v.size for v in ep.values())
+        else:
+            latent_pack = RC.encode_latents(
+                lat_int, np.asarray(code["sigma"]), np.asarray(code["mu"])
+            )
+            latent_extra_bits = 2 * latent_pack["sigma"].size * 32
 
     # [ORIGINS] trimmed octree occupancy bits (see encode_origins)
     origins_payload = encode_origins(origins, codec_cfg.depth, codec_cfg.level)
@@ -246,16 +321,21 @@ def encode(
     )
 
     coded_w, as_is_w = W.weight_pack_bits(net_weight_pack)
-    latent_bits = (
-        8 * len(latent_pack["stream"]) + 2 * latent_pack["sigma"].size * 32
-    )
+    if spec.entropy_mode == "ctx":
+        # ctx side-info (masked kernel residual stream + biases) is network
+        # weight, like the training objective counts it (ctx_kernel_bits)
+        net_bits_total = coded_w + as_is_w + latent_extra_bits
+        latent_bits = 8 * len(latent_pack["stream"])
+    else:
+        net_bits_total = coded_w + as_is_w
+        latent_bits = 8 * len(latent_pack["stream"]) + latent_extra_bits
     origin_bits = origins_payload["n_bits"]
-    total_bits = coded_w + as_is_w + latent_bits + origin_bits
+    total_bits = net_bits_total + latent_bits + origin_bits
     stats = {
         "n_blocks": int(len(origins)),
         "n_points_src": int(n_points_src),
         "n_points_rec": int(len(points)),
-        "b_net": (coded_w + as_is_w) / n_points_src,
+        "b_net": net_bits_total / n_points_src,
         "b_latent": latent_bits / n_points_src,
         "b_origins": origin_bits / n_points_src,
         "bpp": total_bits / n_points_src,
@@ -270,7 +350,7 @@ def decode(pack: dict) -> Tuple[np.ndarray, dict]:
 
     Touches neither the dataset nor the latent generator; rebuilds the seeded
     decoder from the pack's model metadata alone."""
-    if pack.get("format_version") not in (1, PACK_FORMAT_VERSION):
+    if pack.get("format_version") not in _DECODABLE_VERSIONS:
         raise ValueError(f"unsupported pack format: {pack.get('format_version')}")
     mc = pack["model"]
     model_cfg = ModelConfig(
@@ -282,7 +362,19 @@ def decode(pack: dict) -> Tuple[np.ndarray, dict]:
     )
 
     params = W.unpack_weights(pack["net_weight_pack"])
-    latents = RC.decode_latents(pack["latent_pack"])
+    lp = pack["latent_pack"]
+    if lp.get("mode") == "ctx":
+        from nvfpcc_tpu.coder import ctx_coder as CTX
+
+        ctx_ints = CTX.ctx_ints_from_payload(spec, lp["ctx"])
+        latents = CTX.decode_latents_ctx(
+            lp["stream"], tuple(lp["shape"]), ctx_ints
+        ).astype(np.float32)
+    elif lp.get("mode") in ("gmm", "factorized"):
+        cum = _model_latent_tables(lp["mode"], lp["params"], int(lp["shape"][-1]))
+        latents = RC.decode_latents_tables(lp["stream"], tuple(lp["shape"]), cum)
+    else:
+        latents = RC.decode_latents(lp)
     origins = decode_origins(
         pack["origins"], int(pack["codec"]["depth"]), int(pack["codec"]["level"])
     )
@@ -306,6 +398,35 @@ def save_pack(path: str, pack: dict) -> int:
     return os.path.getsize(path)
 
 
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Unpickler that admits only the types a pack can legitimately contain.
+
+    The container is pickle for reference parity (``NVFPCC.py:486-493``
+    unpickles ``pack.pk`` with no restriction — arbitrary code execution on
+    untrusted input); here ``find_class`` whitelists the numpy array
+    reconstructors and nothing else, so a hostile pack cannot name an
+    executable global. Everything else in a pack is builtin scalars,
+    bytes, dicts, lists and tuples, which need no globals at all.
+    """
+
+    _ALLOWED = {
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy._core.multiarray", "scalar"),
+        ("numpy", "ndarray"),
+        ("numpy", "dtype"),
+    }
+
+    def find_class(self, module: str, name: str):
+        if (module, name) in self._ALLOWED:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"pack.pk may not reference {module}.{name} — refusing to unpickle"
+        )
+
+
 def load_pack(path: str) -> dict:
+    """Load a pack with the restricted unpickler (see docs/FORMAT.md §Trust)."""
     with open(path, "rb") as f:
-        return pickle.load(f)
+        return _RestrictedUnpickler(f).load()

@@ -36,19 +36,29 @@ _AS_IS_KEYS = tuple(f"{n}/b" for n in TRANSMITTED_KERNELS) + (
 )
 
 
+def _round_kernel(layer: dict, qp: int) -> dict:
+    layer = dict(layer)
+    k = np.asarray(layer["kernel"], np.float64)
+    layer["kernel"] = jnp.asarray((np.rint(k * qp) / qp).astype(np.float32))
+    return layer
+
+
 def quantize_residuals(params: dict, qp: int = 16) -> dict:
-    """Return params with the 7 transmitted kernel residuals rounded to the
-    1/qp grid (host math, float64 round → float32 values)."""
+    """Return params with every transmitted kernel residual rounded to the
+    1/qp grid (host math, float64 round → float32 values): the 7 decoder
+    kernels, plus the 2 ctx-model masked kernels when present."""
+    from nvfpcc_tpu.models.decoder import CTX_KERNELS
+
     dp = dict(params["decoder"])
     for name in TRANSMITTED_KERNELS:
-        layer = dict(dp[name])
-        k = np.asarray(layer["kernel"], np.float64)
-        layer["kernel"] = jnp.asarray(
-            (np.rint(k * qp) / qp).astype(np.float32)
-        )
-        dp[name] = layer
+        dp[name] = _round_kernel(dp[name], qp)
     out = dict(params)
     out["decoder"] = dp
+    if "entropy" in params and all(n in params["entropy"] for n in CTX_KERNELS):
+        ep = dict(params["entropy"])
+        for name in CTX_KERNELS:
+            ep[name] = _round_kernel(ep[name], qp)
+        out["entropy"] = ep
     return out
 
 
@@ -60,7 +70,11 @@ def pack_weights(params: dict, qp: int = 16, entropy: str = "range") -> dict:
     the residual integers with the native range coder under their empirical
     histogram (~3% tighter than Huffman — measured 2.465 vs 2.393 b/residual
     entropy on a trained flagship checkpoint); "huffman" keeps the
-    reference-style canonical-Huffman stream.
+    reference-style canonical-Huffman stream; "gaussian" codes under the
+    TRAINED scalar-Gaussian weight-rate model (the prior the RD objective
+    optimizes, reference ``GaussianLikelihoodModel``,
+    ``utils/network.py:287-305``) — table side-info is two f32 instead of a
+    histogram, at the cost of model-vs-empirical mismatch in the stream.
     """
     dp = params["decoder"]
     ints = []
@@ -82,23 +96,31 @@ def pack_weights(params: dict, qp: int = 16, entropy: str = "range") -> dict:
     }
     flat = np.concatenate([t.reshape(-1) for t in ints])
     if entropy == "range":
+        pack.update({"mode": "range", **pack_int_stream(flat)})
+    elif entropy == "gaussian":
         from nvfpcc_tpu.coder import range_coder as RC
 
+        wr = dp.get("wrate")
+        if wr is None:
+            raise ValueError("entropy='gaussian' needs the trained wrate params")
+        sigma = np.float32(abs(np.asarray(wr["sigma"]).reshape(-1)[0]))
+        mu = np.float32(np.asarray(wr["mu"]).reshape(-1)[0])
         lo, hi = int(flat.min()), int(flat.max())
-        counts = np.bincount((flat - lo).astype(np.int64), minlength=hi - lo + 1)
-        cum = RC.build_cum_from_counts(counts)
+        cum = _gaussian_weight_tables(sigma, mu, lo, hi, qp)
         symbols = (flat - lo).astype(np.int32)
         table_ids = np.zeros(len(symbols), np.int32)
         stream = RC.encode(symbols, table_ids, cum)
         assert np.array_equal(
             RC.decode(stream, table_ids, cum), symbols
-        ), "weight range-coding self-check"
+        ), "gaussian weight-coding self-check"
         pack.update(
             {
-                "mode": "range",
+                "mode": "gaussian",
                 "bit_stream": stream,
                 "min_sym": lo,
-                "counts": counts.astype(np.int64),
+                "max_sym": hi,
+                "wrate_sigma": sigma,
+                "wrate_mu": mu,
             }
         )
     elif entropy == "huffman":
@@ -123,18 +145,77 @@ def pack_weights(params: dict, qp: int = 16, entropy: str = "range") -> dict:
     return pack
 
 
+def pack_int_stream(flat: np.ndarray) -> dict:
+    """Range-code a flat int array under its empirical histogram; returns
+    ``{"bit_stream", "min_sym", "counts"}`` (round-trip asserted). Used for
+    the decoder-kernel residual stream and the ctx-model residual stream."""
+    from nvfpcc_tpu.coder import range_coder as RC
+
+    flat = np.asarray(flat, np.int64).reshape(-1)
+    lo, hi = int(flat.min()), int(flat.max())
+    counts = np.bincount((flat - lo).astype(np.int64), minlength=hi - lo + 1)
+    cum = RC.build_cum_from_counts(counts)
+    symbols = (flat - lo).astype(np.int32)
+    table_ids = np.zeros(len(symbols), np.int32)
+    stream = RC.encode(symbols, table_ids, cum)
+    assert np.array_equal(
+        RC.decode(stream, table_ids, cum), symbols
+    ), "int-stream range-coding self-check"
+    return {"bit_stream": stream, "min_sym": lo, "counts": counts.astype(np.int64)}
+
+
+def unpack_int_stream(pack: dict, n: int) -> np.ndarray:
+    """Inverse of :func:`pack_int_stream`: n int64 symbols."""
+    from nvfpcc_tpu.coder import range_coder as RC
+
+    cum = RC.build_cum_from_counts(pack["counts"])
+    table_ids = np.zeros(n, np.int32)
+    flat = RC.decode(pack["bit_stream"], table_ids, cum).astype(np.int64)
+    return flat + int(pack["min_sym"])
+
+
+def int_stream_bits(pack: dict) -> int:
+    """Stream + histogram-table bits of a :func:`pack_int_stream` payload."""
+    return 8 * len(pack["bit_stream"]) + 16 + len(np.asarray(pack["counts"])) * 24
+
+
+def _gaussian_weight_tables(
+    sigma: np.float32, mu: np.float32, lo: int, hi: int, qp: int
+) -> np.ndarray:
+    """One integer table over residual ints [lo, hi] from the trained scalar
+    Gaussian at step 1/qp: symbol i <-> residual value (lo+i)/qp, so in
+    symbol space sigma' = sigma*qp, mu' = mu*qp - lo."""
+    from nvfpcc_tpu.coder import range_coder as RC
+
+    n = hi - lo + 1
+    return RC.build_cum_tables(
+        np.asarray([np.float64(sigma) * qp], np.float32),
+        np.asarray([np.float64(mu) * qp - lo], np.float32),
+        n_sym=n,
+    )
+
+
 def _decode_weight_ints(pack: dict):
     """Flat residual ints -> per-kernel tensors (mode-dispatched; packs
     without a mode field are format-v2 Huffman)."""
     n = int(pack["element_length"])
     mode = pack.get("mode", "huffman")
+    if mode not in ("range", "huffman", "gaussian"):
+        raise ValueError(
+            f"unsupported weight entropy mode {mode!r} — "
+            "pack written by a newer format version?"
+        )
     if mode == "range":
+        flat = unpack_int_stream(pack, n)
+    elif mode == "gaussian":
         from nvfpcc_tpu.coder import range_coder as RC
 
-        cum = RC.build_cum_from_counts(pack["counts"])
+        lo, hi = int(pack["min_sym"]), int(pack["max_sym"])
+        cum = _gaussian_weight_tables(
+            pack["wrate_sigma"], pack["wrate_mu"], lo, hi, int(pack["qp"])
+        )
         table_ids = np.zeros(n, np.int32)
-        flat = RC.decode(pack["bit_stream"], table_ids, cum).astype(np.int64)
-        flat += int(pack["min_sym"])
+        flat = RC.decode(pack["bit_stream"], table_ids, cum).astype(np.int64) + lo
     else:
         cb = huffman.HuffmanCodebook.from_dict(pack["codebook"])
         flat = huffman.decode(pack["bit_stream"], cb, n)
@@ -169,9 +250,12 @@ def weight_pack_bits(pack: dict) -> Tuple[int, int]:
     """(coded_bits, as_is_bits): entropy stream + model-table overhead vs
     fp32 pool — the reference's b_net split
     (``util_code_quantized_weights.py:150-168``)."""
-    if pack.get("mode", "huffman") == "range":
+    mode = pack.get("mode", "huffman")
+    if mode == "range":
         # histogram table: min_sym (16b) + one 24-bit count per symbol
         table_bits = 16 + len(np.asarray(pack["counts"])) * 24
+    elif mode == "gaussian":
+        table_bits = 2 * 32 + 2 * 16  # (sigma, mu) f32 + (min, max) int16
     else:
         cb = pack["codebook"]
         table_bits = len(np.asarray(cb["symbols"])) * (16 + 8)

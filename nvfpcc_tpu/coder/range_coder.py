@@ -152,6 +152,96 @@ def _integerize_pdfs(pdf: np.ndarray, total: int) -> np.ndarray:
     return cum
 
 
+def build_cum_tables_gmm(
+    sigma: np.ndarray,
+    mu: np.ndarray,
+    p_logit: np.ndarray,
+    n_sym: int = N_SYM,
+    offset: int = OFFSET,
+    total: int = TOTAL,
+) -> np.ndarray:
+    """Integer tables for per-channel 2-component Gaussian mixtures.
+
+    ``sigma``/``mu`` are (2, ntab) f32 in LATENT space (mu is shifted by
+    ``offset`` internally), ``p_logit`` (ntab,). Same determinism contract as
+    :func:`build_cum_tables` (float64 from f32, erf on host)."""
+    sigma = np.abs(np.asarray(sigma, np.float32).astype(np.float64)).reshape(2, -1)
+    mu = np.asarray(mu, np.float32).astype(np.float64).reshape(2, -1)
+    p = _sigmoid64(np.asarray(p_logit, np.float32).astype(np.float64).reshape(-1))
+    sigma = np.maximum(sigma, 1e-9)
+    edges = np.arange(n_sym + 1, dtype=np.float64) - 0.5 - offset
+    cdf = np.zeros((mu.shape[1], n_sym + 1), np.float64)
+    for comp, w in ((0, p), (1, 1.0 - p)):
+        z = (edges[None, :] - mu[comp][:, None]) / sigma[comp][:, None]
+        cdf += w[:, None] * _norm_cdf(z)
+    pdf = np.diff(cdf, axis=1)
+    pdf = np.maximum(pdf, 0.0)
+    pdf = pdf / np.maximum(pdf.sum(axis=1, keepdims=True), 1e-300)
+    return _integerize_pdfs(pdf, total)
+
+
+def _sigmoid64(x: np.ndarray) -> np.ndarray:
+    # stable, deterministic logistic (tanh-based; no exp overflow)
+    return 0.5 * (1.0 + np.tanh(0.5 * x))
+
+
+def build_cum_tables_factorized(
+    params: dict,
+    ch: int,
+    n_sym: int = N_SYM,
+    offset: int = OFFSET,
+    total: int = TOTAL,
+) -> np.ndarray:
+    """Integer tables for the per-channel factorized (monotone logit-CDF MLP)
+    model. ``params`` holds f32 arrays ``matrix_i`` (ch, fin, fout),
+    ``bias_i`` (ch, fout), ``factor_i`` (ch, fout) — the same leaves the jax
+    model trains (``ops/rate.py:factorized_logit_cdf``), evaluated here in
+    float64 numpy (einsum — no BLAS) so both ends build identical tables from
+    the f32 values in the pack."""
+    from nvfpcc_tpu.ops.rate import FACTORIZED_FILTERS as F
+
+    edges = np.arange(n_sym + 1, dtype=np.float64) - 0.5 - offset
+    y = np.broadcast_to(edges[None, :, None], (ch, n_sym + 1, 1)).copy()
+    for i in range(len(F) - 1):
+        m = np.asarray(params[f"matrix_{i}"], np.float32).astype(np.float64)
+        b = np.asarray(params[f"bias_{i}"], np.float32).astype(np.float64)
+        m = np.logaddexp(0.0, m)  # softplus
+        y = np.einsum("cei,cio->ceo", y, m, optimize=False) + b[:, None, :]
+        if i < len(F) - 2:
+            a = np.asarray(params[f"factor_{i}"], np.float32).astype(np.float64)
+            y = y + np.tanh(a)[:, None, :] * np.tanh(y)
+    cdf = _sigmoid64(y[..., 0])
+    pdf = np.diff(cdf, axis=1)
+    pdf = np.maximum(pdf, 0.0)
+    pdf = pdf / np.maximum(pdf.sum(axis=1, keepdims=True), 1e-300)
+    return _integerize_pdfs(pdf, total)
+
+
+def encode_latents_tables(latents: np.ndarray, cum: np.ndarray) -> dict:
+    """Encode integer latents (N,2,2,2,ch) under prebuilt per-CHANNEL tables
+    (one table per channel; used by the gmm/factorized modes). Returns
+    ``{"stream", "shape"}``; round-trip asserted."""
+    latents = np.asarray(latents)
+    ints = np.rint(latents).astype(np.int64)
+    symbols = ints + OFFSET
+    if symbols.min() < 0 or symbols.max() >= N_SYM:
+        raise ValueError("latent out of codable range")
+    ch = latents.shape[-1]
+    ids = np.broadcast_to(np.arange(ch, dtype=np.int32), latents.shape).reshape(-1)
+    stream = encode(symbols.reshape(-1), ids, cum)
+    rt = decode(stream, ids, cum)
+    assert np.array_equal(rt, symbols.reshape(-1)), "range coder round-trip failed"
+    return {"stream": stream, "shape": tuple(latents.shape)}
+
+
+def decode_latents_tables(stream: bytes, shape, cum: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_latents_tables`. Returns float32 latents."""
+    ch = shape[-1]
+    ids = np.broadcast_to(np.arange(ch, dtype=np.int32), shape).reshape(-1)
+    symbols = decode(stream, ids, cum)
+    return (symbols.astype(np.int64) - OFFSET).astype(np.float32).reshape(shape)
+
+
 def build_cum_from_counts(counts: np.ndarray, total: int = TOTAL) -> np.ndarray:
     """One (1, n+1) cumulative table from an empirical symbol histogram
     (used for the weight-residual stream — ~3% tighter than Huffman)."""

@@ -53,9 +53,23 @@ _LAYER_SEED_IDX = {
     "conv2_cls": 7,
     "conv1_cls": 8,
     "conv0_cls": 9,
+    # latent context model (entropy_mode="ctx"); appending here keeps every
+    # older layer's seed stream unchanged, so pre-ctx packs decode bit-exactly
+    "ctx1": 10,
+    "ctx2": 11,
 }
 
 TRANSMITTED_KERNELS = ("up0", "conv0", "up1", "conv1", "up2", "conv2", "conv2_cls")
+
+# context-model layers whose (masked) kernel residuals are transmitted
+CTX_KERNELS = ("ctx1", "ctx2")
+CTX_HIDDEN = 8  # PredNet hidden width (reference utils/network.py:4385-4388)
+CTX_SIGMA_FLOOR = 1e-6  # reference PredNet sigma floor (utils/network.py:4405)
+# leaky-relu slope between the two masked convs. The reference uses torch's
+# 0.01 default; we use 1/16 so the host-side integer-exact prediction path
+# (coder/ctx_coder.py) stays exact in fixed-point — a function-class change
+# only, never a parity concern (training and coding both use 1/16).
+CTX_LRELU_SLOPE = 1.0 / 16.0
 
 
 @dataclass(frozen=True)
@@ -99,7 +113,12 @@ def build_model_spec(
         "conv1_cls": qc.make_qspec(k("conv1_cls"), "conv", c2, 1, 3, 1, 1),
         "conv0_cls": qc.make_qspec(k("conv0_cls"), "conv", c1, 1, 3, 1, 1),
     }
-    if entropy_mode not in ("channel", "spatio"):
+    if entropy_mode == "ctx":
+        # autoregressive per-position mu/sigma predictor over the 2^3 latent
+        # (reference PredNet: two causal masked convs, utils/network.py:4381-4412)
+        specs["ctx1"] = qc.make_masked_qspec(k("ctx1"), ch, CTX_HIDDEN, 3)
+        specs["ctx2"] = qc.make_masked_qspec(k("ctx2"), CTX_HIDDEN, 2 * ch, 3)
+    elif entropy_mode not in ("channel", "spatio", "gmm", "factorized"):
         raise ValueError(f"unknown entropy_mode: {entropy_mode}")
     return ModelSpec(
         ch=ch, channels=tuple(channels), specs=specs, seed_tag=seed_tag,
@@ -116,13 +135,21 @@ def init_params(spec: ModelSpec) -> dict:
     """Full trainable pytree. Residual kernels start at zero; entropy-model
     sigma at 1, mu at 0 (reference ``utils/network.py:4504-4512``)."""
     p = {name: qc.conv_init(s) for name, s in spec.specs.items()}
-    e_shape = (spec.ch,) if spec.entropy_mode == "channel" else spec.latent_shape
-    return {
-        "latent_gen": {"conv": p["latent_gen"], "gdn": gdn.gdn_init(spec.ch)},
-        "entropy": {
+    if spec.entropy_mode == "ctx":
+        entropy = {"ctx1": p["ctx1"], "ctx2": p["ctx2"]}
+    elif spec.entropy_mode == "gmm":
+        entropy = rate.gmm2_init(spec.ch)
+    elif spec.entropy_mode == "factorized":
+        entropy = rate.factorized_init(spec.ch)
+    else:
+        e_shape = (spec.ch,) if spec.entropy_mode == "channel" else spec.latent_shape
+        entropy = {
             "sigma": jnp.ones(e_shape, jnp.float32),
             "mu": jnp.zeros(e_shape, jnp.float32),
-        },
+        }
+    return {
+        "latent_gen": {"conv": p["latent_gen"], "gdn": gdn.gdn_init(spec.ch)},
+        "entropy": entropy,
         "decoder": {
             "up0": p["up0"],
             "conv0": p["conv0"],
@@ -157,18 +184,65 @@ def latent_gen_apply(spec: ModelSpec, params: dict, emb: jnp.ndarray) -> jnp.nda
     return gdn.gdn_apply(params["latent_gen"]["gdn"], h)
 
 
+def ctx_pred_apply(
+    spec: ModelSpec,
+    params: dict,
+    x_rounded: jnp.ndarray,
+    q: int,
+    key: Optional[jax.Array] = None,
+):
+    """Autoregressive per-position (mu, sigma) prediction from causally-prior
+    latent positions (reference ``PredNet.forward``, ``utils/network.py:4398-4407``):
+    two quantized causal masked convs with a leaky-relu between, sigma floored.
+    Input is always the ROUNDED latent (teacher forcing in train; at decode the
+    host coder evaluates the identical function incrementally)."""
+    if q == 1:
+        if key is None:
+            raise ValueError("q=1 ctx prediction needs a PRNG key")
+        k1, k2 = jax.random.split(key)
+    else:
+        k1 = k2 = None
+    ep = params["entropy"]
+    h = qc.qconv3d(spec.specs["ctx1"], ep["ctx1"], x_rounded, q, k1)
+    h = jax.nn.leaky_relu(h, CTX_LRELU_SLOPE)
+    out = qc.qconv3d(spec.specs["ctx2"], ep["ctx2"], h, q, k2)
+    mu = out[..., : spec.ch]
+    sigma = jnp.abs(out[..., spec.ch :]) + CTX_SIGMA_FLOOR
+    return mu, sigma
+
+
 def entropy_apply(
-    params: dict, x: jnp.ndarray, mode: str, key: Optional[jax.Array] = None
+    spec: ModelSpec,
+    params: dict,
+    x: jnp.ndarray,
+    mode: str,
+    key: Optional[jax.Array] = None,
+    q: int = 2,
 ):
     """Latent bottleneck: STE round + Gaussian rate, additive noise in train
-    (reference ``QuantGaussianLikelihood.forward``, ``utils/network.py:4514-4539``).
+    (reference ``QuantGaussianLikelihood.forward``, ``utils/network.py:4514-4539``;
+    for ``entropy_mode="ctx"`` the reference semantics are
+    ``CtxPredLikelihoodModel.forward``, ``utils/network.py:4414-4465``: the
+    rate form follows the *kernel* phase — noisy at q=1, rounded at q=2).
 
     Returns ``(x_rounded, bits)`` where ``bits`` has the same shape as ``x``
     (per-element rate; sum for the reference's total).
     """
-    sigma = jnp.abs(params["entropy"]["sigma"])
-    mu = params["entropy"]["mu"]
     x_rounded = bypass_round(x)
+    if spec.entropy_mode == "ctx":
+        if mode == "train" and q == 1:
+            if key is None:
+                raise ValueError("train-mode entropy bottleneck needs a PRNG key")
+            nkey, pkey = jax.random.split(key)
+            noise = jax.random.uniform(nkey, x.shape, x.dtype, -0.5, 0.5)
+            x_form = x + noise
+        else:
+            x_form = x_rounded
+            pkey = key
+        mu, sigma = ctx_pred_apply(spec, params, x_rounded, q, pkey)
+        bits = rate.gaussian_bits(x_form, sigma, mu, step=1.0)
+        return x_rounded, bits
+
     if mode == "train":
         if key is None:
             raise ValueError("train-mode entropy bottleneck needs a PRNG key")
@@ -176,7 +250,14 @@ def entropy_apply(
         x_form = x + noise
     else:
         x_form = x_rounded
-    bits = rate.gaussian_bits(x_form, sigma, mu, step=1.0)
+    if spec.entropy_mode == "gmm":
+        bits = rate.gmm2_bits(x_form, params["entropy"], step=1.0)
+    elif spec.entropy_mode == "factorized":
+        bits = rate.factorized_bits(x_form, params["entropy"], step=1.0)
+    else:
+        sigma = jnp.abs(params["entropy"]["sigma"])
+        mu = params["entropy"]["mu"]
+        bits = rate.gaussian_bits(x_form, sigma, mu, step=1.0)
     return x_rounded, bits
 
 
@@ -260,9 +341,13 @@ def net_apply(
     else:
         ekey = dkey = None
     latent = latent_gen_apply(spec, params, emb)
-    latent_rounded, bits = entropy_apply(params, latent, mode, ekey)
+    latent_rounded, bits = entropy_apply(spec, params, latent, mode, ekey, q)
     latent_bits = bits.reshape(bits.shape[0], -1).sum(axis=1)
     out, cls_list, net_bits = decoder_apply(spec, params, latent_rounded, q, dkey)
+    if spec.entropy_mode == "ctx":
+        # the transmitted ctx kernels' rate joins the network rate
+        # (reference CtxPredLikelihoodModel.get_net_bits, utils/network.py:4460-4464)
+        net_bits = jnp.concatenate([net_bits, ctx_kernel_bits(spec, params)])
     return out, cls_list, net_bits, latent_bits
 
 
@@ -274,17 +359,31 @@ def reconstruct(spec: ModelSpec, params: dict, latent: jnp.ndarray, q: int = 2):
     return out
 
 
+def ctx_kernel_bits(spec: ModelSpec, params: dict) -> jnp.ndarray:
+    """(2,) rate of the MASKED (i.e. transmitted) ctx kernel entries under
+    the weight-rate model. Taps the causal mask zeroes never affect the
+    output, so they are neither coded nor counted."""
+    wrate = params["decoder"]["wrate"]
+    bits = []
+    for n in CTX_KERNELS:
+        k = params["entropy"][n]["kernel"].reshape(-1)
+        idx = spec.specs[n].mask_flat_indices
+        bits.append(rate.scalar_gaussian_rate(wrate, bypass_round16(k[idx])))
+    return jnp.stack(bits)
+
+
 def get_latent_code(spec: ModelSpec, params: dict, emb: jnp.ndarray) -> dict:
     """Export quantized latents + entropy-model params for the range coder
-    (reference ``Net.get_latent_code``, ``NVFPCC.py:60-71``)."""
+    (reference ``Net.get_latent_code``, ``NVFPCC.py:60-71``). In ctx mode the
+    coder derives per-symbol tables itself (host, integer-exact) from the
+    rounded latents + transmitted ctx params, so only the latents export."""
     latent = latent_gen_apply(spec, params, emb)
-    rounded, bits = entropy_apply(params, latent, mode="eval")
-    return {
-        "quantized_latent": rounded,
-        "sigma": jnp.abs(params["entropy"]["sigma"]),
-        "mu": params["entropy"]["mu"],
-        "latent_bits": bits.sum(),
-    }
+    rounded, bits = entropy_apply(spec, params, latent, mode="eval")
+    out = {"quantized_latent": rounded, "latent_bits": bits.sum()}
+    if spec.entropy_mode in ("channel", "spatio"):
+        out["sigma"] = jnp.abs(params["entropy"]["sigma"])
+        out["mu"] = params["entropy"]["mu"]
+    return out
 
 
 def get_network_bits(spec: ModelSpec, params: dict) -> float:
@@ -299,8 +398,16 @@ def get_network_bits(spec: ModelSpec, params: dict) -> float:
     )
     c = spec.channels
     aux_bits = sum(c[i] * 2 for i in (1, 2, 3)) * 32 + 32 + (c[1] ** 2 + c[1]) * 32
-    n_entropy = spec.ch if spec.entropy_mode == "channel" else int(np.prod(spec.latent_shape))
-    entropy_bits = n_entropy * 2 * 32  # sigma+mu fp32 (QuantGaussianLikelihood.get_bits)
+    if spec.entropy_mode == "ctx":
+        # masked ctx kernel residual rate + fp32 ctx biases; no sigma/mu table
+        entropy_bits = float(ctx_kernel_bits(spec, params).sum())
+        entropy_bits += (CTX_HIDDEN + 2 * spec.ch) * 32
+    elif spec.entropy_mode in ("gmm", "factorized"):
+        n_entropy = sum(int(np.prod(np.shape(v))) for v in params["entropy"].values())
+        entropy_bits = n_entropy * 32  # all entropy-model leaves ship fp32
+    else:
+        n_entropy = spec.ch if spec.entropy_mode == "channel" else int(np.prod(spec.latent_shape))
+        entropy_bits = n_entropy * 2 * 32  # sigma+mu fp32 (QuantGaussianLikelihood.get_bits)
     return net_bits + aux_bits + entropy_bits
 
 

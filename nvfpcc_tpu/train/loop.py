@@ -400,10 +400,30 @@ def train(
                 f"MSE1: {es['mse1']:.4f} PSNR1: {es['psnr1']:.4f}"
             )
             if checkpoint_dir is not None:
-                ckpt_util.save_checkpoint(
-                    checkpoint_dir, epoch, state.params, state.emb[:n_blocks]
-                )
-                ckpt_util.save_train_state(checkpoint_dir, epoch, state)
+                # multi-host: block-sharded leaves are not host-addressable;
+                # allgather them (a collective — all processes participate),
+                # then exactly one process writes the files.
+                save_state = state
+                if jax.process_count() > 1:
+                    from jax.experimental import multihost_utils as mh
+
+                    save_state = TrainState(
+                        state.params, state.opt_state,
+                        mh.process_allgather(state.emb, tiled=True),
+                        jax.tree_util.tree_map(
+                            lambda x: mh.process_allgather(x, tiled=True)
+                            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == n_padded
+                            else x,
+                            state.emb_opt_state,
+                        ),
+                        state.epoch,
+                    )
+                if jax.process_index() == 0:
+                    ckpt_util.save_checkpoint(
+                        checkpoint_dir, epoch, save_state.params,
+                        save_state.emb[:n_blocks],
+                    )
+                    ckpt_util.save_train_state(checkpoint_dir, epoch, save_state)
 
     # strip mesh padding from the returned embeddings (callers see real blocks)
     state = TrainState(

@@ -1,0 +1,219 @@
+"""Latent context model (entropy_mode="ctx", pack format v3).
+
+Covers the capability of the reference's dormant masked-conv stack
+(``/root/reference/utils/network.py:4312-4465``): causal masking, the
+integer-exact host predictor, the 8-step incremental range coding, and the
+end-to-end ``rc_enc == rc_dec`` parity gate with a trained ctx model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nvfpcc_tpu import codec
+from nvfpcc_tpu.coder import ctx_coder as CTX
+from nvfpcc_tpu.codec import weights as W
+from nvfpcc_tpu.config import CodecConfig, ModelConfig, TrainConfig
+from nvfpcc_tpu.models import decoder as M
+from nvfpcc_tpu.ops import conv as qc
+
+RASTER = [(p >> 2 & 1, p >> 1 & 1, p & 1) for p in range(8)]
+
+
+def ctx_spec(ch=3):
+    return M.build_model_spec(ch=ch, channels=(4, 8, 4, 4), entropy_mode="ctx")
+
+
+def random_ctx_params(spec, seed=0, scale=8):
+    """Params with non-trivial quantized ctx kernels + biases."""
+    rng = np.random.default_rng(seed)
+    params = M.init_params(spec)
+    ep = dict(params["entropy"])
+    for name in M.CTX_KERNELS:
+        s = spec.specs[name]
+        layer = dict(ep[name])
+        layer["kernel"] = jnp.asarray(
+            rng.integers(-scale, scale + 1, s.kernel_shape).astype(np.float32) / 16
+        )
+        layer["b"] = jnp.asarray(rng.normal(0, 0.2, (s.out_ch,)).astype(np.float32))
+        ep[name] = layer
+    params = dict(params)
+    params["entropy"] = ep
+    return params
+
+
+class TestCausalMask:
+    def test_mask_shape_and_count(self):
+        m = qc.causal_mask(3)
+        assert m.shape == (3, 3, 3, 1, 1)
+        assert int(m.sum()) == 13  # strictly-before-center taps of a 3^3 kernel
+
+    def test_pred_is_causal(self):
+        """mu/sigma at raster position i must not depend on positions >= i."""
+        spec = ctx_spec()
+        params = random_ctx_params(spec)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(0, 3, (4, 2, 2, 2, 3)).round(), jnp.float32)
+        mu0, s0 = M.ctx_pred_apply(spec, params, x, q=2)
+        for i, (z, y, w) in enumerate(RASTER):
+            x2 = np.asarray(x).copy()
+            for zz, yy, ww in RASTER[i:]:
+                x2[:, zz, yy, ww, :] = 999.0
+            mu2, s2 = M.ctx_pred_apply(spec, params, jnp.asarray(x2), q=2)
+            assert np.allclose(mu0[:, z, y, w], mu2[:, z, y, w]), f"mu leaks at pos {i}"
+            assert np.allclose(s0[:, z, y, w], s2[:, z, y, w]), f"sigma leaks at pos {i}"
+
+    def test_position0_prediction_is_data_free(self):
+        """The first raster position sees no context at all."""
+        spec = ctx_spec()
+        params = random_ctx_params(spec)
+        a = jnp.zeros((2, 2, 2, 2, 3), jnp.float32)
+        b = jnp.asarray(np.full((2, 2, 2, 2, 3), 55.0), jnp.float32)
+        mu_a, _ = M.ctx_pred_apply(spec, params, a, q=2)
+        mu_b, _ = M.ctx_pred_apply(spec, params, b, q=2)
+        assert np.allclose(mu_a[:, 0, 0, 0], mu_b[:, 0, 0, 0])
+
+
+class TestIntPredictor:
+    def test_int_pred_matches_float_pred(self):
+        """The fixed-point host predictor tracks the jax float predictor to
+        within its quantization budget (init rounded to 1/256, mu to 1/16)."""
+        spec = ctx_spec()
+        params = random_ctx_params(spec, seed=2)
+        qparams = W.quantize_residuals(params, 16)
+        payload = CTX.build_ctx_payload(spec, qparams["entropy"])
+        ints = CTX.ctx_ints_from_payload(spec, payload)
+        rng = np.random.default_rng(3)
+        lat = rng.integers(-30, 31, (16, 2, 2, 2, 3)).astype(np.int64)
+        mu16, sidx = CTX.predict_int(lat, ints)
+        mu_f, sig_f = M.ctx_pred_apply(
+            spec, qparams, jnp.asarray(lat, jnp.float32), q=2
+        )
+        # mu: 1/16 grid + init-rounding drift (1/512 per tap, scaled by |x|
+        # through two layers) -> relative tolerance against the float pred
+        rel = np.abs(mu16 / 16.0 - np.asarray(mu_f)) / (1.0 + np.abs(np.asarray(mu_f)))
+        assert np.max(rel) < 0.05
+        # sigma: log-bucketed to 1/16 octave; compare in log2 space
+        sig_i = CTX._SIGMA_VALS[sidx]
+        mask = np.asarray(sig_f) > 0.05  # below the grid floor both clamp
+        ratio = np.log2(sig_i[mask] / np.asarray(sig_f)[mask])
+        assert np.max(np.abs(ratio)) < 0.25
+
+    def test_teacher_forced_equals_incremental(self):
+        """predict_int on the full latent equals predict_int on the causally
+        truncated latent at every position (the decode-side evaluation)."""
+        spec = ctx_spec()
+        params = random_ctx_params(spec, seed=4)
+        qparams = W.quantize_residuals(params, 16)
+        ints = CTX.ctx_ints_from_payload(
+            spec, CTX.build_ctx_payload(spec, qparams["entropy"])
+        )
+        rng = np.random.default_rng(5)
+        lat = rng.integers(-20, 21, (8, 2, 2, 2, 3)).astype(np.int64)
+        mu_full, s_full = CTX.predict_int(lat, ints)
+        for i, (z, y, w) in enumerate(RASTER):
+            trunc = lat.copy()
+            for zz, yy, ww in RASTER[i:]:
+                trunc[:, zz, yy, ww, :] = 0
+            mu_t, s_t = CTX.predict_int(trunc, ints)
+            assert np.array_equal(mu_full[:, z, y, w], mu_t[:, z, y, w]), i
+            assert np.array_equal(s_full[:, z, y, w], s_t[:, z, y, w]), i
+
+
+class TestCtxCoder:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_roundtrip_random(self, seed):
+        spec = ctx_spec()
+        params = random_ctx_params(spec, seed=seed)
+        qparams = W.quantize_residuals(params, 16)
+        payload = CTX.build_ctx_payload(spec, qparams["entropy"])
+        ints = CTX.ctx_ints_from_payload(spec, payload)
+        rng = np.random.default_rng(seed + 10)
+        lat = rng.integers(-50, 51, (40, 2, 2, 2, 3)).astype(np.int64)
+        enc = CTX.encode_latents_ctx(lat, ints)
+        dec = CTX.decode_latents_ctx(enc["stream"], enc["shape"], ints)
+        assert np.array_equal(dec, enc["coded"])
+        if enc["n_clamped"] == 0:
+            assert np.array_equal(dec, lat)
+
+    def test_clamp_lockstep(self):
+        """Out-of-alphabet residuals clamp identically on both sides: the
+        encoder's decoder-visible latents are exactly what decode returns."""
+        spec = ctx_spec()
+        params = random_ctx_params(spec, seed=6, scale=2)
+        qparams = W.quantize_residuals(params, 16)
+        ints = CTX.ctx_ints_from_payload(
+            spec, CTX.build_ctx_payload(spec, qparams["entropy"])
+        )
+        lat = np.zeros((4, 2, 2, 2, 3), np.int64)
+        lat[0, 0, 0, 0, 0] = 5000  # way outside any shifted alphabet
+        enc = CTX.encode_latents_ctx(lat, ints)
+        assert enc["n_clamped"] >= 1
+        dec = CTX.decode_latents_ctx(enc["stream"], enc["shape"], ints)
+        assert np.array_equal(dec, enc["coded"])
+
+    def test_payload_roundtrip_and_bits(self):
+        spec = ctx_spec()
+        params = random_ctx_params(spec, seed=7)
+        qparams = W.quantize_residuals(params, 16)
+        payload = CTX.build_ctx_payload(spec, qparams["entropy"])
+        ints = CTX.ctx_ints_from_payload(spec, payload)
+        for i, name in enumerate(M.CTX_KERNELS, start=1):
+            s = spec.specs[name]
+            # reconstructed integer kernel must be zero outside the mask
+            full = np.broadcast_to(s.mask, s.kernel_shape) != 0
+            assert np.all(ints[f"K{i}"][~full] == 0)
+        assert CTX.ctx_payload_bits(payload) > 0
+
+
+class TestCtxTraining:
+    def test_net_apply_shapes_and_grads(self):
+        spec = ctx_spec()
+        params = M.init_params(spec)
+        emb = M.init_embeddings(6, 3)
+        key = jax.random.PRNGKey(0)
+        out, cls, net_bits, lat_bits = M.net_apply(spec, params, emb, "train", 1, key)
+        assert net_bits.shape == (9,)  # 7 decoder kernels + 2 ctx kernels
+        assert lat_bits.shape == (6,)
+
+        def loss(p):
+            _, _, nb, lb = M.net_apply(spec, p, emb, "train", 2, key)
+            return nb.sum() + lb.sum()
+
+        g = jax.grad(loss)(params)
+        for name in M.CTX_KERNELS:
+            gk = np.asarray(g["entropy"][name]["kernel"])
+            assert np.isfinite(gk).all()
+            # masked taps get rate gradient; masked-out taps get none
+            s = spec.specs[name]
+            full = np.broadcast_to(s.mask, s.kernel_shape) != 0
+            assert np.any(gk[full] != 0)
+            assert np.all(gk[~full] == 0)
+
+
+class TestCtxCodecEndToEnd:
+    def test_parity_after_training(self):
+        from nvfpcc_tpu.grids.builder import build_artifacts
+        from nvfpcc_tpu.train.loop import train
+        from tests.test_codec import toy_cloud
+
+        pts = toy_cloud(n=900, size=128, seed=3)
+        origins, gt, dist = build_artifacts(pts, depth=7, level=2)
+        mcfg = ModelConfig(ch=2, chanstr="4,8,4,4", entropy_mode="ctx")
+        tcfg = TrainConfig(epochs=4, phase_change=2, batch_size=4, eval_every=100)
+        spec, state = train(gt, dist, mcfg, tcfg, log=lambda *_: None)
+        ccfg = CodecConfig(depth=7, level=2)
+        res = codec.encode(
+            state.params, np.asarray(state.emb), origins, mcfg, ccfg, int(gt.sum())
+        )
+        assert res.pack["format_version"] == 3
+        assert res.pack["latent_pack"]["mode"] == "ctx"
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "pack.pk")
+            codec.save_pack(p, res.pack)
+            pts2, info = codec.decode(codec.load_pack(p))
+        assert np.array_equal(res.points, pts2)
+        assert res.stats["bpp"] > 0
