@@ -88,12 +88,13 @@ def _add_model(p: argparse.ArgumentParser) -> None:
     p.add_argument("--chanstr", type=str, default="8,16,8,8", help="decoder channels")
     p.add_argument(
         "--entropy_mode",
-        choices=("channel", "spatio", "ctx", "gmm", "factorized"),
+        choices=("channel", "spatio", "ctx", "ctx_ar", "gmm", "factorized"),
         default="channel",
         help="latent entropy model: per-channel (sigma,mu); per-position "
         "(spatio); autoregressive masked-conv context prediction (ctx); "
-        "per-channel 2-component Gaussian mixture (gmm); per-channel "
-        "factorized logit-CDF MLP (factorized)",
+        "ctx plus same-position channel autoregression (ctx_ar); per-channel "
+        "2-component Gaussian mixture (gmm); per-channel factorized "
+        "logit-CDF MLP (factorized)",
     )
 
 

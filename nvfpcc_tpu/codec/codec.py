@@ -227,7 +227,7 @@ def encode(
         _RECON_JIT_CACHE[key] = code_fn
     code = code_fn(qparams, jnp.asarray(emb, jnp.float32))
     lat_int = np.rint(np.asarray(code["quantized_latent"], np.float64)).astype(np.int64)
-    if spec.entropy_mode == "ctx":
+    if spec.entropy_mode in M.CTX_MODES:
         # context-model path (format v3): per-symbol tables derive from the
         # decoded prefix via the integer-exact host predictor; residual
         # clamping (if any) is applied in encoder/decoder lockstep inside
@@ -236,18 +236,19 @@ def encode(
 
         ctx_payload = CTX.build_ctx_payload(spec, qparams["entropy"])
         ctx_ints = CTX.ctx_ints_from_payload(spec, ctx_payload)
-        enc = CTX.encode_latents_ctx(lat_int, ctx_ints)
+        channel_ar = spec.entropy_mode == "ctx_ar"
+        enc = CTX.encode_latents_ctx(lat_int, ctx_ints, channel_ar)
         if enc["n_clamped"]:
             import warnings
 
             warnings.warn(
                 f"{enc['n_clamped']} ctx latent residual(s) clamped to the alphabet"
             )
-        rt = CTX.decode_latents_ctx(enc["stream"], enc["shape"], ctx_ints)
+        rt = CTX.decode_latents_ctx(enc["stream"], enc["shape"], ctx_ints, channel_ar)
         assert np.array_equal(rt, enc["coded"]), "ctx range coder round-trip failed"
         lat_int = enc["coded"]
         latent_pack = {
-            "mode": "ctx",
+            "mode": spec.entropy_mode,
             "stream": enc["stream"],
             "shape": enc["shape"],
             "ctx": ctx_payload,
@@ -321,7 +322,7 @@ def encode(
     )
 
     coded_w, as_is_w = W.weight_pack_bits(net_weight_pack)
-    if spec.entropy_mode == "ctx":
+    if spec.entropy_mode in M.CTX_MODES:
         # ctx side-info (masked kernel residual stream + biases) is network
         # weight, like the training objective counts it (ctx_kernel_bits)
         net_bits_total = coded_w + as_is_w + latent_extra_bits
@@ -363,12 +364,13 @@ def decode(pack: dict) -> Tuple[np.ndarray, dict]:
 
     params = W.unpack_weights(pack["net_weight_pack"])
     lp = pack["latent_pack"]
-    if lp.get("mode") == "ctx":
+    if lp.get("mode") in M.CTX_MODES:
         from nvfpcc_tpu.coder import ctx_coder as CTX
 
         ctx_ints = CTX.ctx_ints_from_payload(spec, lp["ctx"])
         latents = CTX.decode_latents_ctx(
-            lp["stream"], tuple(lp["shape"]), ctx_ints
+            lp["stream"], tuple(lp["shape"]), ctx_ints,
+            channel_ar=lp["mode"] == "ctx_ar",
         ).astype(np.float32)
     elif lp.get("mode") in ("gmm", "factorized"):
         cum = _model_latent_tables(lp["mode"], lp["params"], int(lp["shape"][-1]))

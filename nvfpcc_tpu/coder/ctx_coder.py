@@ -58,15 +58,16 @@ SIGMA_LEVELS = 256
 LOG2_SIGMA_MIN = -6.0  # sigma level i = 2^(LOG2_SIGMA_MIN + i/16)
 LEVELS_PER_OCTAVE = 16
 
-# strict raster-causal 3x3x3 tap offsets (13 of 27): lexicographically before
-# the center — matches ops.conv.causal_mask and the reference mask
-# (utils/network.py:4322-4329)
+# raster-causal 3x3x3 tap offsets (13 strictly-before taps + the center):
+# matches ops.conv.causal_mask / channel_ar_mask — the center tap's weights
+# are zero in plain "ctx" mode (masked out of K_int) and channel-gated in
+# "ctx_ar" mode, so one generic offset loop serves both
 _CAUSAL_OFFSETS = [
     (dz, dy, dx)
     for dz in (-1, 0, 1)
     for dy in (-1, 0, 1)
     for dx in (-1, 0, 1)
-    if (dz, dy, dx) < (0, 0, 0)
+    if (dz, dy, dx) <= (0, 0, 0)
 ]
 
 # sigma quantization: level boundaries in the scale-OUT2_SCALE integer domain
@@ -194,14 +195,26 @@ def _tables_for_keys(unique_keys: np.ndarray, cache: dict) -> np.ndarray:
     return np.stack([cache[int(k)] for k in unique_keys])
 
 
-def encode_latents_ctx(lat_int: np.ndarray, ints: Dict[str, np.ndarray]) -> dict:
+def _steps(ch: int, channel_ar: bool):
+    """Decode-order step list: one (z, y, w, channel-slice) per coding step.
+    Plain ctx decodes a whole position's channels at once (8 steps);
+    channel-AR decodes one (position, channel) at a time (8*ch steps)."""
+    if channel_ar:
+        return [(z, y, w, slice(c, c + 1)) for z, y, w in _RASTER for c in range(ch)]
+    return [(z, y, w, slice(None)) for z, y, w in _RASTER]
+
+
+def encode_latents_ctx(
+    lat_int: np.ndarray, ints: Dict[str, np.ndarray], channel_ar: bool = False
+) -> dict:
     """Encode integer latents (N,2,2,2,ch) under the context model.
 
-    Proceeds position-by-position so that when a residual symbol must be
-    clamped to the alphabet, the *decoder-visible* value feeds the later
-    predictions — encoder and decoder stay in lockstep by construction.
-    Returns ``{"stream", "shape", "n_clamped"}``; round-trip asserted by the
-    caller via :func:`decode_latents_ctx`.
+    Proceeds step-by-step (position raster; per channel too in ``channel_ar``
+    mode) so that when a residual symbol must be clamped to the alphabet, the
+    *decoder-visible* value feeds the later predictions — encoder and decoder
+    stay in lockstep by construction. Returns ``{"stream", "shape",
+    "n_clamped", "coded"}``; round-trip asserted by the caller via
+    :func:`decode_latents_ctx`.
     """
     lat_int = np.asarray(lat_int, np.int64)
     n, ch = lat_int.shape[0], lat_int.shape[-1]
@@ -209,17 +222,17 @@ def encode_latents_ctx(lat_int: np.ndarray, ints: Dict[str, np.ndarray]) -> dict
     syms, keys = [], []
     n_clamped = 0
     cache: dict = {}
-    for z, y, w in _RASTER:
+    for z, y, w, csel in _steps(ch, channel_ar):
         mu16, sidx = predict_int(x, ints)
-        m = mu16[:, z, y, w, :]
+        m = mu16[:, z, y, w, csel]
         shift = m >> 4
         frac = m & (MU_GRID - 1)
-        sym = lat_int[:, z, y, w, :] - shift + RC.OFFSET
+        sym = lat_int[:, z, y, w, csel] - shift + RC.OFFSET
         clipped = np.clip(sym, 0, RC.N_SYM - 1)
         n_clamped += int((clipped != sym).sum())
-        x[:, z, y, w, :] = clipped - RC.OFFSET + shift
+        x[:, z, y, w, csel] = clipped - RC.OFFSET + shift
         syms.append(clipped.reshape(-1))
-        keys.append((sidx[:, z, y, w, :] * MU_GRID + frac).reshape(-1))
+        keys.append((sidx[:, z, y, w, csel] * MU_GRID + frac).reshape(-1))
     flat_syms = np.concatenate(syms).astype(np.int32)
     flat_keys = np.concatenate(keys)
     uk, inv = np.unique(flat_keys, return_inverse=True)
@@ -235,24 +248,33 @@ def encode_latents_ctx(lat_int: np.ndarray, ints: Dict[str, np.ndarray]) -> dict
     }
 
 
-def decode_latents_ctx(stream: bytes, shape: Tuple[int, ...], ints: Dict[str, np.ndarray]):
-    """Inverse of :func:`encode_latents_ctx`: 8 sequential position steps;
-    step i re-decodes the stream prefix (cheap — the stream is tiny) with the
-    tables known so far plus position i's freshly predicted tables."""
+def decode_latents_ctx(
+    stream: bytes,
+    shape: Tuple[int, ...],
+    ints: Dict[str, np.ndarray],
+    channel_ar: bool = False,
+):
+    """Inverse of :func:`encode_latents_ctx`: sequential steps (8, or 8*ch in
+    channel-AR mode); each step re-decodes the stream prefix (cheap — the
+    stream is tiny) with the tables known so far plus the freshly predicted
+    ones."""
     n, ch = shape[0], shape[-1]
     x = np.zeros(shape, np.int64)
     all_keys: list = []
+    all_shifts: list = []
     cache: dict = {}
-    for z, y, w in _RASTER:
+    for z, y, w, csel in _steps(ch, channel_ar):
         mu16, sidx = predict_int(x, ints)
-        m = mu16[:, z, y, w, :]
+        m = mu16[:, z, y, w, csel]
         shift = m >> 4
         frac = m & (MU_GRID - 1)
-        all_keys.append((sidx[:, z, y, w, :] * MU_GRID + frac).reshape(-1))
+        all_keys.append((sidx[:, z, y, w, csel] * MU_GRID + frac).reshape(-1))
+        all_shifts.append(shift)
         flat_keys = np.concatenate(all_keys)
         uk, inv = np.unique(flat_keys, return_inverse=True)
         cum = _tables_for_keys(uk, cache)
         syms = RC.decode(stream, inv.astype(np.int32), cum)
-        last = syms[-n * ch :].astype(np.int64)
-        x[:, z, y, w, :] = (last - RC.OFFSET + shift.reshape(-1)).reshape(n, ch)
+        k = all_keys[-1].size
+        last = syms[-k:].astype(np.int64)
+        x[:, z, y, w, csel] = last.reshape(shift.shape) - RC.OFFSET + shift
     return x

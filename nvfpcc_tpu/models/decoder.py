@@ -63,6 +63,7 @@ TRANSMITTED_KERNELS = ("up0", "conv0", "up1", "conv1", "up2", "conv2", "conv2_cl
 
 # context-model layers whose (masked) kernel residuals are transmitted
 CTX_KERNELS = ("ctx1", "ctx2")
+CTX_MODES = ("ctx", "ctx_ar")  # spatial-only / + channel-autoregressive
 CTX_HIDDEN = 8  # PredNet hidden width (reference utils/network.py:4385-4388)
 CTX_SIGMA_FLOOR = 1e-6  # reference PredNet sigma floor (utils/network.py:4405)
 # leaky-relu slope between the two masked convs. The reference uses torch's
@@ -118,6 +119,24 @@ def build_model_spec(
         # (reference PredNet: two causal masked convs, utils/network.py:4381-4412)
         specs["ctx1"] = qc.make_masked_qspec(k("ctx1"), ch, CTX_HIDDEN, 3)
         specs["ctx2"] = qc.make_masked_qspec(k("ctx2"), CTX_HIDDEN, 2 * ch, 3)
+    elif entropy_mode == "ctx_ar":
+        # ctx + channel autoregression: (mu_c, sigma_c) additionally see the
+        # SAME position's channels < c (the reference mask zeroes the whole
+        # center tap; latent channels are strongly correlated, so this is
+        # pure extra context at ~40 extra coded taps). Decode order becomes
+        # (position, channel) raster — 8*ch host steps.
+        m1 = qc.channel_ar_mask(
+            3, ch, CTX_HIDDEN,
+            in_group=lambda i: i, out_group=lambda g: g % ch,
+            center_strict=True,
+        )
+        m2 = qc.channel_ar_mask(
+            3, CTX_HIDDEN, 2 * ch,
+            in_group=lambda g: g % ch, out_group=lambda o: o % ch,
+            center_strict=False,
+        )
+        specs["ctx1"] = qc.make_masked_qspec(k("ctx1"), ch, CTX_HIDDEN, 3, mask=m1)
+        specs["ctx2"] = qc.make_masked_qspec(k("ctx2"), CTX_HIDDEN, 2 * ch, 3, mask=m2)
     elif entropy_mode not in ("channel", "spatio", "gmm", "factorized"):
         raise ValueError(f"unknown entropy_mode: {entropy_mode}")
     return ModelSpec(
@@ -135,7 +154,7 @@ def init_params(spec: ModelSpec) -> dict:
     """Full trainable pytree. Residual kernels start at zero; entropy-model
     sigma at 1, mu at 0 (reference ``utils/network.py:4504-4512``)."""
     p = {name: qc.conv_init(s) for name, s in spec.specs.items()}
-    if spec.entropy_mode == "ctx":
+    if spec.entropy_mode in CTX_MODES:
         entropy = {"ctx1": p["ctx1"], "ctx2": p["ctx2"]}
     elif spec.entropy_mode == "gmm":
         entropy = rate.gmm2_init(spec.ch)
@@ -229,7 +248,7 @@ def entropy_apply(
     (per-element rate; sum for the reference's total).
     """
     x_rounded = bypass_round(x)
-    if spec.entropy_mode == "ctx":
+    if spec.entropy_mode in CTX_MODES:
         if mode == "train" and q == 1:
             if key is None:
                 raise ValueError("train-mode entropy bottleneck needs a PRNG key")
@@ -344,7 +363,7 @@ def net_apply(
     latent_rounded, bits = entropy_apply(spec, params, latent, mode, ekey, q)
     latent_bits = bits.reshape(bits.shape[0], -1).sum(axis=1)
     out, cls_list, net_bits = decoder_apply(spec, params, latent_rounded, q, dkey)
-    if spec.entropy_mode == "ctx":
+    if spec.entropy_mode in CTX_MODES:
         # the transmitted ctx kernels' rate joins the network rate
         # (reference CtxPredLikelihoodModel.get_net_bits, utils/network.py:4460-4464)
         net_bits = jnp.concatenate([net_bits, ctx_kernel_bits(spec, params)])
@@ -398,7 +417,7 @@ def get_network_bits(spec: ModelSpec, params: dict) -> float:
     )
     c = spec.channels
     aux_bits = sum(c[i] * 2 for i in (1, 2, 3)) * 32 + 32 + (c[1] ** 2 + c[1]) * 32
-    if spec.entropy_mode == "ctx":
+    if spec.entropy_mode in CTX_MODES:
         # masked ctx kernel residual rate + fp32 ctx biases; no sigma/mu table
         entropy_bits = float(ctx_kernel_bits(spec, params).sum())
         entropy_bits += (CTX_HIDDEN + 2 * spec.ch) * 32

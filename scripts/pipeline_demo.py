@@ -112,7 +112,9 @@ def main() -> int:
     from nvfpcc_tpu.metrics import d1_psnr
 
     src = np.rint(read_ply_points(cloud)).astype(np.int64)
-    m = d1_psnr(src, np.rint(b).astype(np.int64), depth=args.depth)
+    # platform=None -> ambient accelerator (the CPU default takes ~10 min of
+    # single-core EDT at vox10 scale; on device it is seconds + one compile)
+    m = d1_psnr(src, np.rint(b).astype(np.int64), depth=args.depth, platform=None)
     stages["d1_psnr"] = round(float(m["psnr"]), 4)
     stages["pack_bytes"] = os.path.getsize(pack)
     stages["bpp"] = round(8.0 * stages["pack_bytes"] / len(src), 4)

@@ -21,8 +21,8 @@ from nvfpcc_tpu.ops import conv as qc
 RASTER = [(p >> 2 & 1, p >> 1 & 1, p & 1) for p in range(8)]
 
 
-def ctx_spec(ch=3):
-    return M.build_model_spec(ch=ch, channels=(4, 8, 4, 4), entropy_mode="ctx")
+def ctx_spec(ch=3, mode="ctx"):
+    return M.build_model_spec(ch=ch, channels=(4, 8, 4, 4), entropy_mode=mode)
 
 
 def random_ctx_params(spec, seed=0, scale=8):
@@ -121,18 +121,52 @@ class TestIntPredictor:
             assert np.array_equal(s_full[:, z, y, w], s_t[:, z, y, w]), i
 
 
+class TestChannelARMask:
+    def test_channel_ar_is_causal_per_channel(self):
+        """In ctx_ar mode, (mu, sigma) for channel c at position i must not
+        depend on channels >= c at position i nor anything at positions > i."""
+        spec = ctx_spec(mode="ctx_ar")
+        params = random_ctx_params(spec)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(0, 3, (4, 2, 2, 2, 3)).round(), jnp.float32)
+        mu0, s0 = M.ctx_pred_apply(spec, params, x, q=2)
+        for i, (z, y, w) in enumerate(RASTER):
+            for c in range(3):
+                x2 = np.asarray(x).copy()
+                x2[:, z, y, w, c:] = 777.0  # garbage at (pos i, channels >= c)
+                for zz, yy, ww in RASTER[i + 1 :]:
+                    x2[:, zz, yy, ww, :] = 777.0
+                mu2, s2 = M.ctx_pred_apply(spec, params, jnp.asarray(x2), q=2)
+                assert np.allclose(mu0[:, z, y, w, c], mu2[:, z, y, w, c]), (i, c)
+                assert np.allclose(s0[:, z, y, w, c], s2[:, z, y, w, c]), (i, c)
+
+    def test_channel_ar_uses_center_context(self):
+        """Unlike plain ctx, ctx_ar predictions for channel 2 DO react to
+        channel 0 at the same position."""
+        spec = ctx_spec(mode="ctx_ar")
+        params = random_ctx_params(spec, seed=9)
+        x = np.zeros((1, 2, 2, 2, 3), np.float32)
+        x2 = x.copy()
+        x2[:, 0, 0, 0, 0] = 10.0
+        mu_a, _ = M.ctx_pred_apply(spec, params, jnp.asarray(x), q=2)
+        mu_b, _ = M.ctx_pred_apply(spec, params, jnp.asarray(x2), q=2)
+        assert not np.allclose(mu_a[:, 0, 0, 0, 2], mu_b[:, 0, 0, 0, 2])
+
+
 class TestCtxCoder:
     @pytest.mark.parametrize("seed", [0, 1, 2])
-    def test_roundtrip_random(self, seed):
-        spec = ctx_spec()
+    @pytest.mark.parametrize("mode", ["ctx", "ctx_ar"])
+    def test_roundtrip_random(self, seed, mode):
+        spec = ctx_spec(mode=mode)
         params = random_ctx_params(spec, seed=seed)
         qparams = W.quantize_residuals(params, 16)
         payload = CTX.build_ctx_payload(spec, qparams["entropy"])
         ints = CTX.ctx_ints_from_payload(spec, payload)
         rng = np.random.default_rng(seed + 10)
         lat = rng.integers(-50, 51, (40, 2, 2, 2, 3)).astype(np.int64)
-        enc = CTX.encode_latents_ctx(lat, ints)
-        dec = CTX.decode_latents_ctx(enc["stream"], enc["shape"], ints)
+        ar = mode == "ctx_ar"
+        enc = CTX.encode_latents_ctx(lat, ints, channel_ar=ar)
+        dec = CTX.decode_latents_ctx(enc["stream"], enc["shape"], ints, channel_ar=ar)
         assert np.array_equal(dec, enc["coded"])
         if enc["n_clamped"] == 0:
             assert np.array_equal(dec, lat)
@@ -193,14 +227,15 @@ class TestCtxTraining:
 
 
 class TestCtxCodecEndToEnd:
-    def test_parity_after_training(self):
+    @pytest.mark.parametrize("mode", ["ctx", "ctx_ar"])
+    def test_parity_after_training(self, mode):
         from nvfpcc_tpu.grids.builder import build_artifacts
         from nvfpcc_tpu.train.loop import train
         from tests.test_codec import toy_cloud
 
         pts = toy_cloud(n=900, size=128, seed=3)
         origins, gt, dist = build_artifacts(pts, depth=7, level=2)
-        mcfg = ModelConfig(ch=2, chanstr="4,8,4,4", entropy_mode="ctx")
+        mcfg = ModelConfig(ch=2, chanstr="4,8,4,4", entropy_mode=mode)
         tcfg = TrainConfig(epochs=4, phase_change=2, batch_size=4, eval_every=100)
         spec, state = train(gt, dist, mcfg, tcfg, log=lambda *_: None)
         ccfg = CodecConfig(depth=7, level=2)
@@ -208,7 +243,7 @@ class TestCtxCodecEndToEnd:
             state.params, np.asarray(state.emb), origins, mcfg, ccfg, int(gt.sum())
         )
         assert res.pack["format_version"] == 3
-        assert res.pack["latent_pack"]["mode"] == "ctx"
+        assert res.pack["latent_pack"]["mode"] == mode
         import tempfile, os
 
         with tempfile.TemporaryDirectory() as d:
