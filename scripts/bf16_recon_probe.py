@@ -67,11 +67,27 @@ def main() -> int:
             lambda x: x.astype(dt) if hasattr(x, "astype") else x, t
         )
 
+    # the seeded init buffers live in the (frozen) spec, not the params tree —
+    # build a bf16-init twin spec so the conv sees uniformly-bf16 operands
+    import dataclasses
+
+    import ml_dtypes
+
+    bf16_specs = {
+        name: dataclasses.replace(
+            s,
+            kernel_init=np.asarray(s.kernel_init, ml_dtypes.bfloat16),
+            b_init=None if s.b_init is None else np.asarray(s.b_init, ml_dtypes.bfloat16),
+        )
+        for name, s in spec.specs.items()
+    }
+    spec16 = dataclasses.replace(spec, specs=bf16_specs)
+
     fns = {}
     fns["f32"] = jax.jit(lambda p, l: M.reconstruct(spec, p, l, q=2))
     fns["bf16"] = jax.jit(
         lambda p, l: M.reconstruct(
-            spec, cast_tree(p, jnp.bfloat16), l.astype(jnp.bfloat16), q=2
+            spec16, cast_tree(p, jnp.bfloat16), l.astype(jnp.bfloat16), q=2
         )
     )
 

@@ -17,8 +17,12 @@ Usage: python scripts/synth_cloud.py out.ply [--depth 10] [--radius 0.25]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bumpy_sphere_cloud(
