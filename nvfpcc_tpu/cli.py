@@ -96,13 +96,20 @@ def _add_model(p: argparse.ArgumentParser) -> None:
         "2-component Gaussian mixture (gmm); per-channel factorized "
         "logit-CDF MLP (factorized)",
     )
+    p.add_argument(
+        "--ctx_detach_pred", action="store_true",
+        help="ctx modes: stop the rate gradient at the context predictor's "
+        "input (training-time only; latents are then shaped by distortion + "
+        "their own rate, not by making later positions predictable)",
+    )
 
 
 def _model_cfg(args):
     from nvfpcc_tpu.config import ModelConfig
 
     return ModelConfig(
-        ch=args.ch, chanstr=args.chanstr, entropy_mode=args.entropy_mode
+        ch=args.ch, chanstr=args.chanstr, entropy_mode=args.entropy_mode,
+        ctx_detach_pred=getattr(args, "ctx_detach_pred", False),
     )
 
 

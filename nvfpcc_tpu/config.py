@@ -21,7 +21,14 @@ class ModelConfig:
     latent channel (the reference's active QuantGaussianLikelihood,
     utils/network.py:4490-4552); "spatio" = one per latent position
     (2,2,2,ch) (the dormant SpatioQuantGaussianLikelihood design,
-    utils/network.py:4554-4590, with its self.bypass_round bug fixed)."""
+    utils/network.py:4554-4590, with its self.bypass_round bug fixed);
+    "ctx"/"ctx_ar" = autoregressive masked-conv context prediction;
+    "gmm"/"factorized" = richer non-contextual models."""
+
+    ctx_detach_pred: bool = False
+    """ctx modes, training-only: stop the rate gradient at the context
+    predictor's input (see ModelSpec.ctx_detach_pred). Does not affect the
+    pack format."""
 
     @property
     def channels(self) -> Tuple[int, ...]:

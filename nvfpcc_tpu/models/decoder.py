@@ -81,7 +81,14 @@ class ModelSpec:
     channels: Tuple[int, int, int, int]
     specs: dict  # name -> QSpec
     seed_tag: str
-    entropy_mode: str = "channel"  # "channel" | "spatio" (see ModelConfig)
+    entropy_mode: str = "channel"  # "channel" | "spatio" | ctx family | ...
+    ctx_detach_pred: bool = False
+    """Training-only (never part of the pack format): stop the rate gradient
+    at the context predictor's INPUT. With the reference semantics (False),
+    the rate term pushes earlier latent positions to make later ones
+    predictable — measured at vox11 this warps latents enough to cost ~1 dB
+    of reconstruction quality; detaching keeps the predictor adaptive while
+    leaving the latents shaped only by distortion + their own rate."""
 
     @property
     def latent_shape(self) -> Tuple[int, int, int, int]:
@@ -93,6 +100,7 @@ def build_model_spec(
     channels: Tuple[int, int, int, int] = (8, 16, 8, 8),
     seed_tag: str = seeds.DEFAULT_TAG,
     entropy_mode: str = "channel",
+    ctx_detach_pred: bool = False,
 ) -> ModelSpec:
     """Construct layer specs mirroring the reference architecture
     (``utils/network.py:4652-4751``)."""
@@ -141,7 +149,7 @@ def build_model_spec(
         raise ValueError(f"unknown entropy_mode: {entropy_mode}")
     return ModelSpec(
         ch=ch, channels=tuple(channels), specs=specs, seed_tag=seed_tag,
-        entropy_mode=entropy_mode,
+        entropy_mode=entropy_mode, ctx_detach_pred=ctx_detach_pred,
     )
 
 
@@ -258,7 +266,10 @@ def entropy_apply(
         else:
             x_form = x_rounded
             pkey = key
-        mu, sigma = ctx_pred_apply(spec, params, x_rounded, q, pkey)
+        pred_in = (
+            jax.lax.stop_gradient(x_rounded) if spec.ctx_detach_pred else x_rounded
+        )
+        mu, sigma = ctx_pred_apply(spec, params, pred_in, q, pkey)
         bits = rate.gaussian_bits(x_form, sigma, mu, step=1.0)
         return x_rounded, bits
 

@@ -288,7 +288,8 @@ def train(
     n_blocks = int(gt.shape[0])
     n_total_pts = float(gt.sum())
     spec = M.build_model_spec(
-        model_cfg.ch, model_cfg.channels, model_cfg.seed_tag, model_cfg.entropy_mode
+        model_cfg.ch, model_cfg.channels, model_cfg.seed_tag,
+        model_cfg.entropy_mode, getattr(model_cfg, "ctx_detach_pred", False),
     )
 
     # With a mesh, pad the block axis to a multiple of the mesh size (GSPMD

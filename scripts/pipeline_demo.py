@@ -35,6 +35,7 @@ def main() -> int:
     ap.add_argument("--cloud", default=None)
     ap.add_argument("--epochs", type=int, default=501)
     ap.add_argument("--entropy_mode", default="channel")
+    ap.add_argument("--ctx_detach_pred", action="store_true")
     ap.add_argument("--lambda", dest="lmbda", type=float, default=200.0)
     ap.add_argument("--thh", type=float, default=0.65)
     ap.add_argument("--depth", type=int, default=10)
@@ -88,6 +89,7 @@ def main() -> int:
             "train", cloud, *common, "--epochs", str(args.epochs),
             "--lambda", str(args.lmbda), "--entropy_mode", args.entropy_mode,
             "--checkpoint_dir", ckpt,
+            *(["--ctx_detach_pred"] if args.ctx_detach_pred else []),
         ],
     )
     stage(

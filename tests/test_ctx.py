@@ -201,6 +201,51 @@ class TestCtxCoder:
         assert CTX.ctx_payload_bits(payload) > 0
 
 
+class TestDetachPred:
+    def test_detach_cuts_latent_warp_gradient(self):
+        """With ctx_detach_pred, the rate gradient w.r.t. the latent input
+        loses the through-the-predictor path but keeps the direct path; the
+        predictor's own params still receive gradients."""
+        spec_w = ctx_spec()  # warp (reference semantics)
+        spec_d = M.build_model_spec(
+            ch=3, channels=(4, 8, 4, 4), entropy_mode="ctx", ctx_detach_pred=True
+        )
+        params = random_ctx_params(spec_w)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(0, 3, (4, 2, 2, 2, 3)), jnp.float32
+        )
+
+        def rate(spec):
+            def f(xx, p):
+                _, bits = M.entropy_apply(spec, p, xx, mode="eval", q=2)
+                return bits.sum()
+
+            return f
+
+        gx_w = jax.grad(rate(spec_w), argnums=0)(x, params)
+        gx_d = jax.grad(rate(spec_d), argnums=0)(x, params)
+        assert not np.allclose(np.asarray(gx_w), np.asarray(gx_d))
+        gp_d = jax.grad(rate(spec_d), argnums=1)(x, params)
+        gk = np.asarray(gp_d["entropy"]["ctx1"]["kernel"])
+        assert np.any(gk != 0)  # predictor still adapts
+
+    def test_detach_does_not_change_coding(self):
+        """ctx_detach_pred is training-only: eval-mode rounded latents and
+        the predictor outputs are identical with and without it."""
+        spec_w = ctx_spec()
+        spec_d = M.build_model_spec(
+            ch=3, channels=(4, 8, 4, 4), entropy_mode="ctx", ctx_detach_pred=True
+        )
+        params = random_ctx_params(spec_w, seed=4)
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(0, 3, (4, 2, 2, 2, 3)), jnp.float32
+        )
+        rw, bw = M.entropy_apply(spec_w, params, x, mode="eval", q=2)
+        rd, bd = M.entropy_apply(spec_d, params, x, mode="eval", q=2)
+        assert np.array_equal(np.asarray(rw), np.asarray(rd))
+        assert np.allclose(np.asarray(bw), np.asarray(bd))
+
+
 class TestCtxTraining:
     def test_net_apply_shapes_and_grads(self):
         spec = ctx_spec()
