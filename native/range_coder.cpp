@@ -21,6 +21,7 @@
 // Exposed as a C ABI for ctypes (nvfpcc_tpu/coder/range_coder.py) and as a
 // standalone CLI (native/range_coder_cli.cpp).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -125,6 +126,47 @@ class RangeDecoder {
   uint64_t r_;
 };
 
+// Decode n symbols with an already-initialized decoder. Returns n, or -1 on a
+// bad table id. Shared by the one-shot and the stateful (resumable) APIs.
+long decode_symbols(RangeDecoder* dec, const int32_t* table_ids, long n,
+                    const uint32_t* cum, int ntab, int tabsize,
+                    int32_t* out_symbols) {
+  const uint64_t total = cum[tabsize - 1];
+  for (long i = 0; i < n; i++) {
+    const int32_t t = table_ids[i];
+    if (t < 0 || t >= ntab) return -1;
+    const uint32_t* c = cum + (long)t * tabsize;
+    const uint64_t v = dec->decode_target(total);
+    // binary search: largest s with c[s] <= v
+    int lo = 0, hi = tabsize - 1;
+    while (hi - lo > 1) {
+      const int mid = (lo + hi) >> 1;
+      if (c[mid] <= v)
+        lo = mid;
+      else
+        hi = mid;
+    }
+    dec->consume(c[lo], c[lo + 1]);
+    out_symbols[i] = lo;
+  }
+  return n;
+}
+
+// Resumable decoder handle: owns a copy of the stream plus the decoder state,
+// so an autoregressive host coder (nvfpcc_tpu/coder/ctx_coder.py) can decode
+// a stream step by step — each step's tables depend on the symbols of the
+// previous steps — without re-decoding the prefix every step.
+struct DecHandle {
+  uint8_t* buf;
+  RangeDecoder dec;
+  DecHandle(const uint8_t* in, long len)
+      : buf(new uint8_t[len > 0 ? len : 1]), dec(nullptr, 0) {
+    memcpy(buf, in, len);
+    dec = RangeDecoder(buf, len);
+  }
+  ~DecHandle() { delete[] buf; }
+};
+
 }  // namespace
 
 extern "C" {
@@ -156,26 +198,39 @@ long nvfpcc_rc_decode(const uint8_t* in, long in_len, const int32_t* table_ids,
                       long n, const uint32_t* cum, int ntab, int tabsize,
                       int32_t* out_symbols) {
   if (n < 0 || ntab <= 0 || tabsize < 2) return -1;
-  const uint64_t total = cum[tabsize - 1];
   RangeDecoder dec(in, in_len);
-  for (long i = 0; i < n; i++) {
-    const int32_t t = table_ids[i];
-    if (t < 0 || t >= ntab) return -1;
-    const uint32_t* c = cum + (long)t * tabsize;
-    const uint64_t v = dec.decode_target(total);
-    // binary search: largest s with c[s] <= v
-    int lo = 0, hi = tabsize - 1;
-    while (hi - lo > 1) {
-      const int mid = (lo + hi) >> 1;
-      if (c[mid] <= v)
-        lo = mid;
-      else
-        hi = mid;
-    }
-    dec.consume(c[lo], c[lo + 1]);
-    out_symbols[i] = lo;
-  }
-  return n;
+  return decode_symbols(&dec, table_ids, n, cum, ntab, tabsize, out_symbols);
+}
+
+// --- resumable decoder (stateful across calls) -----------------------------
+//
+// new -> run (repeatedly, each call with its own tables) -> free. Every table
+// set passed to run must share the cumulative total the stream was encoded
+// with (the Python layer uses a fixed 2^20 everywhere).
+
+void* nvfpcc_rc_dec_new(const uint8_t* in, long in_len) {
+  if (in_len < 0) return nullptr;
+  return new DecHandle(in, in_len);
+}
+
+long nvfpcc_rc_dec_run(void* handle, const int32_t* table_ids, long n,
+                       const uint32_t* cum, int ntab, int tabsize,
+                       int32_t* out_symbols) {
+  if (handle == nullptr || n < 0 || ntab <= 0 || tabsize < 2) return -1;
+  DecHandle* h = static_cast<DecHandle*>(handle);
+  return decode_symbols(&h->dec, table_ids, n, cum, ntab, tabsize, out_symbols);
+}
+
+void nvfpcc_rc_dec_free(void* handle) {
+  delete static_cast<DecHandle*>(handle);
+}
+
+// Batch erf for the Gaussian CDF table builder (the Python math.erf loop is
+// the hot path when an autoregressive decode touches thousands of distinct
+// (sigma, mu) tables). The Python layer verifies this agrees bit-exactly with
+// math.erf on a probe set before trusting it (tables are a format contract).
+void nvfpcc_erf_batch(const double* x, double* out, long n) {
+  for (long i = 0; i < n; i++) out[i] = erf(x[i]);
 }
 
 }  // extern "C"

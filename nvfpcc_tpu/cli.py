@@ -102,6 +102,11 @@ def _add_model(p: argparse.ArgumentParser) -> None:
         "input (training-time only; latents are then shaped by distortion + "
         "their own rate, not by making later positions predictable)",
     )
+    p.add_argument(
+        "--ctx_hidden", type=int, default=8,
+        help="ctx modes: masked-conv predictor hidden width (8 = reference "
+        "PredNet; travels in the pack model metadata)",
+    )
 
 
 def _model_cfg(args):
@@ -110,6 +115,7 @@ def _model_cfg(args):
     return ModelConfig(
         ch=args.ch, chanstr=args.chanstr, entropy_mode=args.entropy_mode,
         ctx_detach_pred=getattr(args, "ctx_detach_pred", False),
+        ctx_hidden=getattr(args, "ctx_hidden", 8),
     )
 
 
@@ -189,12 +195,33 @@ def cmd_encode(args) -> int:
     n_blocks = len(art["origins"])
     n_points = int(art["gt"].sum())
     params, emb = _load_train_state(args, n_blocks)
+    mcfg = _model_cfg(args)
+    if args.ctx_post:
+        # post-hoc predictor fit: entropy-upgrade ANY trained checkpoint to a
+        # ctx/ctx_ar pack without touching its latents (same reconstruction,
+        # smaller latent stream). See train/ctx_fit.py.
+        if mcfg.entropy_mode not in ("ctx", "ctx_ar"):
+            raise SystemExit(
+                "--ctx_post needs --entropy_mode ctx or ctx_ar (it fits the "
+                "masked-conv predictor the pack will carry)"
+            )
+        from nvfpcc_tpu.models import decoder as Mdl
+        from nvfpcc_tpu.train.ctx_fit import upgrade_params_to_ctx
+
+        spec = Mdl.build_model_spec(
+            mcfg.ch, mcfg.channels, mcfg.seed_tag, mcfg.entropy_mode,
+            ctx_hidden=mcfg.ctx_hidden,
+        )
+        params = upgrade_params_to_ctx(
+            spec, params, np.asarray(emb), steps=args.ctx_fit_steps,
+            lr=args.ctx_fit_lr,
+        )
     ccfg = CodecConfig(
         thh_encode=args.thh, thh_decode=args.thh, qp=args.qp,
-        depth=args.depth, level=args.level,
+        depth=args.depth, level=args.level, recon_dtype=args.recon_dtype,
     )
     result = codec.encode(
-        params, emb, art["origins"], _model_cfg(args), ccfg, n_points
+        params, emb, art["origins"], mcfg, ccfg, n_points
     )
     size = codec.save_pack(args.pack_fn, result.pack)
     s = result.stats
@@ -330,6 +357,19 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--recon", type=str, default=None, help="write rc_enc.ply here")
     e.add_argument("--thh", type=float, default=0.65)
     e.add_argument("--qp", type=int, default=16)
+    e.add_argument(
+        "--recon_dtype", choices=("f32", "bf16"), default="f32",
+        help="reconstruction dtype; bf16 = 1.3x faster decode on TPU with a "
+        "small measured quality cost (rides in the pack — both sides run it)",
+    )
+    e.add_argument(
+        "--ctx_post", action="store_true",
+        help="fit the ctx/ctx_ar predictor post hoc on the checkpoint's "
+        "frozen latents before packing (entropy upgrade: same reconstruction "
+        "and D1 as the source checkpoint, smaller latent stream)",
+    )
+    e.add_argument("--ctx_fit_steps", type=int, default=3000)
+    e.add_argument("--ctx_fit_lr", type=float, default=3e-2)
     e.set_defaults(fn=cmd_encode)
 
     ev = sub.add_parser("eval", help="D1 PSNR between two .ply clouds")

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import pickle
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -48,16 +49,76 @@ _DECODABLE_VERSIONS = (1, 2, 3)
 # One jitted reconstruct per model spec (keyed by its static identity): a
 # warm process re-traces nothing across encode/decode/serve requests
 # (round-1 rebuilt the jit per call, costing a re-trace + lowering each time).
-_RECON_JIT_CACHE: dict = {}
+# LRU-bounded so a long-lived serve process fed many model shapes cannot
+# accumulate jitted programs without limit.
+_RECON_JIT_CACHE: OrderedDict = OrderedDict()
+_RECON_JIT_CACHE_MAX = 32
 
 
-def _recon_fn(spec: M.ModelSpec):
-    key = (spec.ch, spec.channels, spec.seed_tag, spec.entropy_mode)
+def _jit_cache_get(key, build):
     fn = _RECON_JIT_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(lambda p, l: M.reconstruct(spec, p, l, q=2))
+        fn = build()
         _RECON_JIT_CACHE[key] = fn
+        while len(_RECON_JIT_CACHE) > _RECON_JIT_CACHE_MAX:
+            _RECON_JIT_CACHE.popitem(last=False)
+    else:
+        _RECON_JIT_CACHE.move_to_end(key)
     return fn
+
+
+def _spec_key(spec: M.ModelSpec):
+    return (spec.ch, spec.channels, spec.seed_tag, spec.entropy_mode, spec.ctx_hidden)
+
+
+def _bf16_twin_spec(spec: M.ModelSpec) -> M.ModelSpec:
+    """Twin spec whose seeded-init buffers are pre-cast to bfloat16 so the
+    bf16 decode forward sees uniformly-bf16 operands (the inits live in the
+    frozen spec, not the params tree)."""
+    import dataclasses
+
+    import ml_dtypes
+
+    specs16 = {
+        name: dataclasses.replace(
+            s,
+            kernel_init=np.asarray(s.kernel_init, ml_dtypes.bfloat16),
+            b_init=None if s.b_init is None else np.asarray(s.b_init, ml_dtypes.bfloat16),
+        )
+        for name, s in spec.specs.items()
+    }
+    return dataclasses.replace(spec, specs=specs16)
+
+
+def _recon_fn(spec: M.ModelSpec, recon_dtype: str = "f32"):
+    """Jitted reconstruct for the pack's ``codec.recon_dtype``.
+
+    ``bf16`` runs the decode chain in bfloat16 (measured 1.30x on one v5e
+    chip, RESULTS.md round-2 analysis; ~0.8% of thresholded voxels flip vs
+    f32). Parity is structural either way: the dtype rides in the pack, so
+    encoder and decoder run the identical program; the f32 occupancy compare
+    happens after an exact bf16->f32 upcast."""
+    if recon_dtype == "f32":
+        return _jit_cache_get(
+            _spec_key(spec),
+            lambda: jax.jit(lambda p, l: M.reconstruct(spec, p, l, q=2)),
+        )
+    if recon_dtype != "bf16":
+        raise ValueError(f"unsupported recon_dtype: {recon_dtype!r}")
+
+    def build():
+        spec16 = _bf16_twin_spec(spec)
+
+        def cast(t):
+            return jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), t)
+
+        return jax.jit(
+            lambda p, l: M.reconstruct(
+                spec16, cast(p), l.astype(jnp.bfloat16), q=2
+            ).astype(jnp.float32)
+        )
+
+    return _jit_cache_get(_spec_key(spec) + ("bf16",), build)
 
 
 def encode_origins(origins: np.ndarray, depth: int, level: int) -> dict:
@@ -116,12 +177,13 @@ def reconstruct_all(
     params: dict,
     latents: np.ndarray,
     batch: int = 128,
+    recon_dtype: str = "f32",
 ) -> np.ndarray:
     """Occupancy grids (N, B, B, B) f32 for all blocks, batched through one
     jitted decode forward (pad-to-fixed-batch so XLA compiles once)."""
     n = latents.shape[0]
     batch = min(batch, max(n, 1))
-    fn = _recon_fn(spec)
+    fn = _recon_fn(spec, recon_dtype)
     outs = []
     for i in range(0, n, batch):
         chunk = latents[i : i + batch]
@@ -143,6 +205,7 @@ def reconstruct_points(
     origins: np.ndarray,
     thh: float,
     batch: int = 128,
+    recon_dtype: str = "f32",
 ) -> np.ndarray:
     """Reconstruct + threshold + extract WITHOUT fetching the occupancy field.
 
@@ -158,7 +221,7 @@ def reconstruct_points(
     if n == 0:
         return np.zeros((0, 3), np.int64)
     batch = min(batch, n)
-    fn = _recon_fn(spec)
+    fn = _recon_fn(spec, recon_dtype)
     chunks = []
     for i in range(0, n, batch):
         chunk = latents[i : i + batch]
@@ -212,6 +275,7 @@ def encode(
         spec = M.build_model_spec(
             model_cfg.ch, model_cfg.channels, model_cfg.seed_tag,
             model_cfg.entropy_mode,
+            ctx_hidden=getattr(model_cfg, "ctx_hidden", M.CTX_HIDDEN),
         )
 
     # [WEIGHTS] quantize to the 1/qp grid, entropy-pack (NVFPCC.py:409-410)
@@ -220,11 +284,10 @@ def encode(
 
     # [LATENTS] integer latents + per-channel Gaussian range coding
     # (NVFPCC.py:444-477); round-trip asserted inside encode_latents.
-    key = ("latent_code", spec.ch, spec.channels, spec.seed_tag, spec.entropy_mode)
-    code_fn = _RECON_JIT_CACHE.get(key)
-    if code_fn is None:
-        code_fn = jax.jit(lambda p, e: M.get_latent_code(spec, p, e))
-        _RECON_JIT_CACHE[key] = code_fn
+    key = ("latent_code",) + _spec_key(spec)
+    code_fn = _jit_cache_get(
+        key, lambda: jax.jit(lambda p, e: M.get_latent_code(spec, p, e))
+    )
     code = code_fn(qparams, jnp.asarray(emb, jnp.float32))
     lat_int = np.rint(np.asarray(code["quantized_latent"], np.float64)).astype(np.int64)
     if spec.entropy_mode in M.CTX_MODES:
@@ -234,7 +297,7 @@ def encode(
         # encode_latents_ctx.
         from nvfpcc_tpu.coder import ctx_coder as CTX
 
-        ctx_payload = CTX.build_ctx_payload(spec, qparams["entropy"])
+        ctx_payload = CTX.build_ctx_payload(spec, qparams["entropy"], codec_cfg.qp)
         ctx_ints = CTX.ctx_ints_from_payload(spec, ctx_payload)
         channel_ar = spec.entropy_mode == "ctx_ar"
         enc = CTX.encode_latents_ctx(lat_int, ctx_ints, channel_ar)
@@ -294,6 +357,12 @@ def encode(
             "chanstr": model_cfg.chanstr,
             "seed_tag": model_cfg.seed_tag,
             "entropy_mode": model_cfg.entropy_mode,
+            # decoder must rebuild the same predictor width (absent = 8)
+            **(
+                {"ctx_hidden": int(spec.ctx_hidden)}
+                if spec.entropy_mode in M.CTX_MODES
+                else {}
+            ),
         },
         "codec": {
             # the decode threshold; the encoder reconstructs at the same value
@@ -305,6 +374,12 @@ def encode(
             "depth": int(codec_cfg.depth),
             "level": int(codec_cfg.level),
             "n_points_src": int(n_points_src),
+            # absent = f32 (packs predating the bf16 option decode unchanged)
+            **(
+                {"recon_dtype": "bf16"}
+                if getattr(codec_cfg, "recon_dtype", "f32") == "bf16"
+                else {}
+            ),
         },
         "net_weight_pack": net_weight_pack,
         "origins": origins_payload,
@@ -319,6 +394,7 @@ def encode(
     points = reconstruct_points(
         spec, W.unpack_weights(net_weight_pack), latents, origins,
         codec_cfg.thh_encode,
+        recon_dtype=getattr(codec_cfg, "recon_dtype", "f32"),
     )
 
     coded_w, as_is_w = W.weight_pack_bits(net_weight_pack)
@@ -357,9 +433,11 @@ def decode(pack: dict) -> Tuple[np.ndarray, dict]:
     model_cfg = ModelConfig(
         ch=int(mc["ch"]), chanstr=mc["chanstr"], seed_tag=mc["seed_tag"],
         entropy_mode=mc.get("entropy_mode", "channel"),
+        ctx_hidden=int(mc.get("ctx_hidden", M.CTX_HIDDEN)),
     )
     spec = M.build_model_spec(
-        model_cfg.ch, model_cfg.channels, model_cfg.seed_tag, model_cfg.entropy_mode
+        model_cfg.ch, model_cfg.channels, model_cfg.seed_tag,
+        model_cfg.entropy_mode, ctx_hidden=model_cfg.ctx_hidden,
     )
 
     params = W.unpack_weights(pack["net_weight_pack"])
@@ -381,13 +459,16 @@ def decode(pack: dict) -> Tuple[np.ndarray, dict]:
         pack["origins"], int(pack["codec"]["depth"]), int(pack["codec"]["level"])
     )
 
+    recon_dtype = str(pack["codec"].get("recon_dtype", "f32"))
     points = reconstruct_points(
-        spec, params, latents, origins, float(pack["codec"]["thh"])
+        spec, params, latents, origins, float(pack["codec"]["thh"]),
+        recon_dtype=recon_dtype,
     )
     info = {
         "n_blocks": int(len(origins)),
         "n_points_rec": int(len(points)),
         "thh": float(pack["codec"]["thh"]),
+        "recon_dtype": recon_dtype,
     }
     return points, info
 

@@ -95,6 +95,9 @@ def ctx_ints_from_payload(spec, payload: dict) -> Dict[str, np.ndarray]:
     from nvfpcc_tpu.models.decoder import CTX_KERNELS
 
     res_flat = unpack_int_stream(payload["res"], int(payload["res"]["element_length"]))
+    qp = int(payload.get("qp", 16))  # residual grid; absent in older v3 packs
+    if qp <= 0 or KSCALE % qp != 0:
+        raise ValueError(f"ctx payload qp={qp} must divide KSCALE={KSCALE}")
     ints: Dict[str, np.ndarray] = {}
     off = 0
     for i, name in enumerate(CTX_KERNELS, start=1):
@@ -104,7 +107,7 @@ def ctx_ints_from_payload(spec, payload: dict) -> Dict[str, np.ndarray]:
         res_int[idx] = res_flat[off : off + len(idx)]
         off += len(idx)
         init256 = np.rint(np.asarray(s.kernel_init, np.float64) * KSCALE).astype(np.int64)
-        k_int = res_int.reshape(s.kernel_shape) * (KSCALE // s.iQ) + init256
+        k_int = res_int.reshape(s.kernel_shape) * (KSCALE // qp) + init256
         k_int *= np.broadcast_to(s.mask, s.kernel_shape).astype(np.int64)
         b_res = np.asarray(payload["bias"][name], np.float64)
         b_init = np.asarray(s.b_init, np.float64)
@@ -114,31 +117,38 @@ def ctx_ints_from_payload(spec, payload: dict) -> Dict[str, np.ndarray]:
     return ints
 
 
-def build_ctx_payload(spec, entropy_params: dict) -> dict:
+def build_ctx_payload(spec, entropy_params: dict, qp: int = 16) -> dict:
     """Transmitted ctx payload from (quantized) entropy params: the masked
-    kernel residual ints, range-coded under their empirical histogram, plus
-    the fp32 residual biases (inits regenerate from the seed stream)."""
+    kernel residual ints on the 1/qp grid, range-coded under their empirical
+    histogram, plus the fp32 residual biases (inits regenerate from the seed
+    stream). ``qp`` must divide KSCALE (4096) so the fixed-point predictor
+    stays exact; it travels in the payload for the decoder."""
     from nvfpcc_tpu.codec.weights import pack_int_stream
     from nvfpcc_tpu.models.decoder import CTX_KERNELS
 
+    if qp <= 0 or KSCALE % qp != 0:
+        raise ValueError(
+            f"ctx modes need a qp dividing {KSCALE} (got {qp}) — the exact "
+            "integer predictor represents residuals at scale KSCALE/qp"
+        )
     res_parts = []
     bias = {}
     for name in CTX_KERNELS:
         s = spec.specs[name]
         k = np.asarray(entropy_params[name]["kernel"], np.float64).reshape(-1)
         idx = s.mask_flat_indices
-        ri = np.rint(k[idx] * s.iQ)
-        if not np.allclose(k[idx] * s.iQ, ri, atol=1e-4):
+        ri = np.rint(k[idx] * qp)
+        if not np.allclose(k[idx] * qp, ri, atol=1e-4):
             raise ValueError(
-                f"ctx kernel '{name}' is not on the 1/{s.iQ} grid — "
-                "run quantize_residuals first"
+                f"ctx kernel '{name}' is not on the 1/{qp} grid — "
+                "run quantize_residuals with the same qp first"
             )
         res_parts.append(ri.astype(np.int64))
         bias[name] = np.asarray(entropy_params[name]["b"], np.float32)
     flat = np.concatenate(res_parts)
     res = pack_int_stream(flat)
     res["element_length"] = int(len(flat))
-    return {"res": res, "bias": bias}
+    return {"res": res, "bias": bias, "qp": int(qp)}
 
 
 def ctx_payload_bits(payload: dict) -> int:
@@ -164,21 +174,92 @@ def _masked_conv_int(x_int: np.ndarray, k_int: np.ndarray, b_int: np.ndarray, x_
     return out + b_int * x_scale
 
 
-def predict_int(x_int: np.ndarray, ints: Dict[str, np.ndarray]):
-    """(mu16, sigma_idx) for every (block, position, channel).
-
-    ``mu16``: int64, mu on the 1/16 grid (value = mu16/16).
-    ``sigma_idx``: int64 in [0, 256) -> sigma = _SIGMA_VALS[idx].
-    Fully deterministic integer arithmetic (see module docstring)."""
-    h = _masked_conv_int(x_int, ints["K1"], ints["b1"], 1)  # scale KSCALE
-    h = np.where(h >= 0, h, h // MU_GRID)  # leaky slope 1/16, floored
-    out = _masked_conv_int(h, ints["K2"], ints["b2"], KSCALE)  # scale OUT2_SCALE
+def _pred_outputs(out: np.ndarray):
+    """(mu16, sigma_idx) from the scale-OUT2_SCALE layer-2 integers."""
     ch = out.shape[-1] // 2
     mu_s = out[..., :ch]
     sg_s = np.abs(out[..., ch:])
     mu16 = (mu_s + _MU_DIV // 2) >> _MU_SHIFT  # round to 1/16 grid (half-up)
     sidx = np.searchsorted(_SIGMA_BOUNDS, sg_s.reshape(-1), side="right")
     return mu16, sidx.reshape(sg_s.shape).astype(np.int64)
+
+
+def predict_int(x_int: np.ndarray, ints: Dict[str, np.ndarray]):
+    """(mu16, sigma_idx) for every (block, position, channel).
+
+    ``mu16``: int64, mu on the 1/16 grid (value = mu16/16).
+    ``sigma_idx``: int64 in [0, 256) -> sigma = _SIGMA_VALS[idx].
+    Fully deterministic integer arithmetic (see module docstring). This is
+    the reference int64 implementation; the coding loops use
+    :class:`ExactPredictor`, which computes the identical integers faster."""
+    h = _masked_conv_int(x_int, ints["K1"], ints["b1"], 1)  # scale KSCALE
+    h = np.where(h >= 0, h, h // MU_GRID)  # leaky slope 1/16, floored
+    out = _masked_conv_int(h, ints["K2"], ints["b2"], KSCALE)  # scale OUT2_SCALE
+    return _pred_outputs(out)
+
+
+def _dense_from_kernel(k_int: np.ndarray) -> np.ndarray:
+    """(3,3,3,cin,cout) tap kernel -> dense (8*cin, 8*cout) int64 matrix over
+    the flattened 2x2x2 grid (positions in raster order, channel-minor):
+    ``W[q*cin+ci, p*cout+co] = K[(q-p)+1, ci, co]`` for |q-p| taps within the
+    3^3 window (masked taps are already zero in ``k_int``, so causality is
+    inherited). One matmul then replaces the 14-offset shift-and-accumulate."""
+    cin, cout = int(k_int.shape[3]), int(k_int.shape[4])
+    w = np.zeros((8 * cin, 8 * cout), np.int64)
+    for pi, (pz, py, px) in enumerate(_RASTER):
+        for qi, (qz, qy, qx) in enumerate(_RASTER):
+            dz, dy, dx = qz - pz, qy - py, qx - px
+            if max(abs(dz), abs(dy), abs(dx)) <= 1:
+                w[qi * cin : (qi + 1) * cin, pi * cout : (pi + 1) * cout] = k_int[
+                    dz + 1, dy + 1, dx + 1
+                ]
+    return w
+
+
+class ExactPredictor:
+    """Fast exact predictor: the two masked convs as dense block matrices.
+
+    Produces bit-identical integers to :func:`predict_int` (asserted in
+    tests). When a rigorous magnitude bound shows every product and partial
+    sum stays below 2^53, the matmuls run in float64 BLAS — float64 adds and
+    multiplies of integers in that range are EXACT and order-independent, so
+    determinism is preserved while gaining ~30x over numpy's int64 einsum
+    (the hot path of autoregressive decode: 8 or 8*ch sequential predicts).
+    Inputs exceeding the bound (absurd kernels/latents) fall back to the
+    int64 path automatically.
+    """
+
+    def __init__(self, ints: Dict[str, np.ndarray]):
+        self._ints = ints
+        self._w1 = _dense_from_kernel(ints["K1"])
+        self._w2 = _dense_from_kernel(ints["K2"])
+        self._w1f = self._w1.astype(np.float64)
+        self._w2f = self._w2.astype(np.float64)
+        self._b1f = np.tile(np.asarray(ints["b1"], np.int64), 8).astype(np.float64)
+        self._b2f = np.tile(np.asarray(ints["b2"], np.int64), 8).astype(
+            np.float64
+        ) * float(KSCALE)
+        self._colsum1 = int(np.abs(self._w1).sum(axis=0).max(initial=0))
+        self._colsum2 = int(np.abs(self._w2).sum(axis=0).max(initial=0))
+        self._b1max = int(np.abs(ints["b1"]).max(initial=0))
+        self._b2max = int(np.abs(ints["b2"]).max(initial=0)) * KSCALE
+        self._cout = int(ints["K2"].shape[4])
+
+    def __call__(self, x_int: np.ndarray):
+        n = x_int.shape[0]
+        xmax = int(np.abs(x_int).max(initial=0))
+        bound1 = xmax * self._colsum1 + self._b1max
+        bound2 = bound1 * self._colsum2 + self._b2max
+        if max(bound1, bound2) < (1 << 53):
+            xf = np.ascontiguousarray(x_int.reshape(n, -1), np.float64)
+            pre1 = xf @ self._w1f + self._b1f
+            # leaky slope 1/16: floor(pre/16) for negatives; pre/16 is exact
+            # (power-of-two divide), floor of an exact value is exact
+            h = np.where(pre1 >= 0, pre1, np.floor(pre1 * (1.0 / MU_GRID)))
+            pre2 = h @ self._w2f + self._b2f
+            out = pre2.astype(np.int64).reshape(n, 2, 2, 2, self._cout)
+            return _pred_outputs(out)
+        return predict_int(x_int, self._ints)
 
 
 def _tables_for_keys(unique_keys: np.ndarray, cache: dict) -> np.ndarray:
@@ -222,8 +303,9 @@ def encode_latents_ctx(
     syms, keys = [], []
     n_clamped = 0
     cache: dict = {}
+    pred = ExactPredictor(ints)
     for z, y, w, csel in _steps(ch, channel_ar):
-        mu16, sidx = predict_int(x, ints)
+        mu16, sidx = pred(x)
         m = mu16[:, z, y, w, csel]
         shift = m >> 4
         frac = m & (MU_GRID - 1)
@@ -255,26 +337,22 @@ def decode_latents_ctx(
     channel_ar: bool = False,
 ):
     """Inverse of :func:`encode_latents_ctx`: sequential steps (8, or 8*ch in
-    channel-AR mode); each step re-decodes the stream prefix (cheap — the
-    stream is tiny) with the tables known so far plus the freshly predicted
-    ones."""
+    channel-AR mode) over ONE resumable native decoder — each step decodes
+    only its own symbols under tables predicted from the prefix, so total
+    decode work is O(stream), not O(steps x stream)."""
     n, ch = shape[0], shape[-1]
     x = np.zeros(shape, np.int64)
-    all_keys: list = []
-    all_shifts: list = []
     cache: dict = {}
-    for z, y, w, csel in _steps(ch, channel_ar):
-        mu16, sidx = predict_int(x, ints)
-        m = mu16[:, z, y, w, csel]
-        shift = m >> 4
-        frac = m & (MU_GRID - 1)
-        all_keys.append((sidx[:, z, y, w, csel] * MU_GRID + frac).reshape(-1))
-        all_shifts.append(shift)
-        flat_keys = np.concatenate(all_keys)
-        uk, inv = np.unique(flat_keys, return_inverse=True)
-        cum = _tables_for_keys(uk, cache)
-        syms = RC.decode(stream, inv.astype(np.int32), cum)
-        k = all_keys[-1].size
-        last = syms[-k:].astype(np.int64)
-        x[:, z, y, w, csel] = last.reshape(shift.shape) - RC.OFFSET + shift
+    pred = ExactPredictor(ints)
+    with RC.StreamingDecoder(stream) as dec:
+        for z, y, w, csel in _steps(ch, channel_ar):
+            mu16, sidx = pred(x)
+            m = mu16[:, z, y, w, csel]
+            shift = m >> 4
+            frac = m & (MU_GRID - 1)
+            keys = (sidx[:, z, y, w, csel] * MU_GRID + frac).reshape(-1)
+            uk, inv = np.unique(keys, return_inverse=True)
+            cum = _tables_for_keys(uk, cache)
+            syms = dec.decode(inv.astype(np.int32), cum).astype(np.int64)
+            x[:, z, y, w, csel] = syms.reshape(shift.shape) - RC.OFFSET + shift
     return x

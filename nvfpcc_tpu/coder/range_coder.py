@@ -80,14 +80,83 @@ def _load_lib() -> ctypes.CDLL:
             ctypes.c_int,  # tabsize
             ctypes.POINTER(ctypes.c_int32),  # out_symbols
         ]
+        lib.nvfpcc_rc_dec_new.restype = ctypes.c_void_p
+        lib.nvfpcc_rc_dec_new.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+        ]
+        lib.nvfpcc_rc_dec_run.restype = ctypes.c_long
+        lib.nvfpcc_rc_dec_run.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.nvfpcc_rc_dec_free.restype = None
+        lib.nvfpcc_rc_dec_free.argtypes = [ctypes.c_void_p]
+        lib.nvfpcc_erf_batch.restype = None
+        lib.nvfpcc_erf_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long,
+        ]
         _lib = lib
         return _lib
 
 
-def _norm_cdf(z: np.ndarray) -> np.ndarray:
-    return 0.5 * (1.0 + np.asarray([math.erf(v / math.sqrt(2.0)) for v in z.ravel()])).reshape(
-        z.shape
+# Batch erf: the Python math.erf loop costs ~1 us/element, which dominates
+# table building when an autoregressive decode touches thousands of distinct
+# (sigma, mu) tables. The native libm batch is ~50x faster — but erf values
+# feed the integer tables both coder ends must rebuild identically, so the
+# native path is trusted only after a bit-exactness probe against math.erf
+# (falls back to the Python loop on any mismatch, keeping old packs safe).
+_erf_impl = None
+
+
+def _erf_batch(x: np.ndarray) -> np.ndarray:
+    global _erf_impl
+    if _erf_impl is None:
+        _erf_impl = _select_erf_impl()
+    return _erf_impl(x)
+
+
+def _erf_py(x: np.ndarray) -> np.ndarray:
+    return np.asarray([math.erf(v) for v in x.ravel()], np.float64).reshape(x.shape)
+
+
+def _select_erf_impl():
+    try:
+        lib = _load_lib()
+    except Exception:
+        return _erf_py
+
+    def native(x: np.ndarray) -> np.ndarray:
+        x = np.ascontiguousarray(x, np.float64)
+        out = np.empty(x.size, np.float64)
+        lib.nvfpcc_erf_batch(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            x.size,
+        )
+        return out.reshape(x.shape)
+
+    # bit-exactness probe over the value range tables actually use
+    probe = np.concatenate(
+        [
+            np.linspace(-40.0, 40.0, 4001),
+            np.asarray([0.0, -0.0, 1e-12, -1e-12, 745.0, -745.0]),
+        ]
     )
+    if np.array_equal(native(probe), _erf_py(probe)):
+        return native
+    return _erf_py
+
+
+def _norm_cdf(z: np.ndarray) -> np.ndarray:
+    return 0.5 * (1.0 + _erf_batch(z / math.sqrt(2.0)))
 
 
 def build_cum_tables(
@@ -125,27 +194,33 @@ def build_cum_tables(
 
 def _integerize_pdfs(pdf: np.ndarray, total: int) -> np.ndarray:
     """(ntab, n_sym) probability rows -> uint32 cumulative tables summing to
-    ``total`` with every frequency >= 1 (deterministic remainder assignment)."""
+    ``total`` with every frequency >= 1 (deterministic remainder assignment).
+
+    Fully vectorized over tables (the per-table Python loop dominated
+    autoregressive decodes that build thousands of tables); the assignment
+    rule — and therefore every table bit — is unchanged: floor + 1, spread
+    the remainder evenly, top up the largest fractional bins with ties broken
+    by symbol index ascending.
+    """
     ntab, n_sym = pdf.shape
-    # floor(p * (total - n_sym)) + 1 per symbol, then give the remainder to
-    # the largest fractional bins (deterministic argsort tie-break).
     budget = total - n_sym
     scaled = pdf * budget
-    freqs = np.floor(scaled).astype(np.int64) + 1
+    fl = np.floor(scaled)
+    freqs = fl.astype(np.int64) + 1
     short = total - freqs.sum(axis=1)
     assert np.all(short >= 0)
-    frac = scaled - np.floor(scaled)
-    for t in range(ntab):
-        k = int(short[t])
-        if k > 0:
-            # k can exceed n_sym when the mass falls outside the window
-            # (degenerate models): spread evenly, then top up the largest
-            # fractional bins.
-            base, rem = divmod(k, n_sym)
-            freqs[t] += base
-            if rem:
-                order = np.lexsort((np.arange(n_sym), -frac[t]))
-                freqs[t, order[:rem]] += 1
+    # k can exceed n_sym when the mass falls outside the window (degenerate
+    # models): spread evenly, then top up the largest fractional bins.
+    base, rem = np.divmod(short, n_sym)
+    freqs += base[:, None]
+    frac = scaled - fl
+    # stable argsort on -frac == lexsort((arange, -frac)): ties by index asc
+    order = np.argsort(-frac, axis=1, kind="stable")
+    ranks = np.empty_like(order)
+    np.put_along_axis(
+        ranks, order, np.broadcast_to(np.arange(n_sym), (ntab, n_sym)), axis=1
+    )
+    freqs += ranks < rem[:, None]
     cum = np.zeros((ntab, n_sym + 1), np.uint32)
     cum[:, 1:] = np.cumsum(freqs, axis=1).astype(np.uint32)
     assert np.all(cum[:, -1] == total)
@@ -301,6 +376,68 @@ def decode(stream: bytes, table_ids: np.ndarray, cum: np.ndarray) -> np.ndarray:
     if n != len(table_ids):
         raise ValueError("range decode failed")
     return out
+
+
+class StreamingDecoder:
+    """Resumable decoder over one stream: each :meth:`decode` call consumes
+    the next ``len(table_ids)`` symbols, persisting coder state in the native
+    handle between calls. This is what makes autoregressive host coding
+    (``coder/ctx_coder.py``) O(stream) instead of O(steps x stream): each of
+    the 8 (or 8*ch) sequential steps decodes only its own symbols, with
+    tables that may depend on everything decoded so far.
+
+    Use as a context manager (or call :meth:`close`); the handle owns a copy
+    of the stream buffer on the native side.
+    """
+
+    def __init__(self, stream: bytes):
+        self._lib = _load_lib()
+        buf = np.frombuffer(stream, np.uint8)
+        buf = np.ascontiguousarray(buf)
+        self._handle = self._lib.nvfpcc_rc_dec_new(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf)
+        )
+        if not self._handle:
+            raise ValueError("failed to initialize streaming decoder")
+
+    def decode(self, table_ids: np.ndarray, cum: np.ndarray) -> np.ndarray:
+        """Decode the next ``len(table_ids)`` symbols under per-call tables
+        (``cum`` rows must share the global TOTAL). Returns int32."""
+        if self._handle is None:
+            raise ValueError("decoder already closed")
+        table_ids = np.ascontiguousarray(table_ids, np.int32).reshape(-1)
+        cum = np.ascontiguousarray(cum, np.uint32)
+        ntab, tabsize = cum.shape
+        out = np.empty(len(table_ids), np.int32)
+        n = self._lib.nvfpcc_rc_dec_run(
+            self._handle,
+            table_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(table_ids),
+            cum.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ntab,
+            tabsize,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if n != len(table_ids):
+            raise ValueError("streaming range decode failed")
+        return out
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.nvfpcc_rc_dec_free(self._handle)
+            self._handle = None
+
+    def __enter__(self) -> "StreamingDecoder":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 # ---------------------------------------------------------------------------

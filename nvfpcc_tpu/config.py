@@ -30,6 +30,11 @@ class ModelConfig:
     predictor's input (see ModelSpec.ctx_detach_pred). Does not affect the
     pack format."""
 
+    ctx_hidden: int = 8
+    """ctx modes: masked-conv predictor hidden width (8 matches the reference
+    PredNet, utils/network.py:4385-4388). Travels in the pack model metadata
+    (model.ctx_hidden) since the decoder must rebuild the same predictor."""
+
     @property
     def channels(self) -> Tuple[int, ...]:
         return tuple(int(c) for c in self.chanstr.split(","))
@@ -67,6 +72,11 @@ class CodecConfig:
     qp: int = 16  # weight quantization (README "4-bit" residuals)
     depth: int = 10  # vox10
     level: int = 5  # octree partition level -> 32^3 blocks
+    recon_dtype: str = "f32"
+    """Reconstruction dtype, "f32" or "bf16". bf16 runs the decode chain on
+    the MXU's native precision (measured 1.30x on one v5e chip with ~0.8% of
+    thresholded voxels flipping — RESULTS.md); it rides in the pack so both
+    sides run the identical program and rc_enc == rc_dec stays structural."""
 
 
 @dataclass

@@ -64,7 +64,9 @@ TRANSMITTED_KERNELS = ("up0", "conv0", "up1", "conv1", "up2", "conv2", "conv2_cl
 # context-model layers whose (masked) kernel residuals are transmitted
 CTX_KERNELS = ("ctx1", "ctx2")
 CTX_MODES = ("ctx", "ctx_ar")  # spatial-only / + channel-autoregressive
-CTX_HIDDEN = 8  # PredNet hidden width (reference utils/network.py:4385-4388)
+# default PredNet hidden width (reference utils/network.py:4385-4388); wider
+# predictors are a format-visible model choice (pack model.ctx_hidden)
+CTX_HIDDEN = 8
 CTX_SIGMA_FLOOR = 1e-6  # reference PredNet sigma floor (utils/network.py:4405)
 # leaky-relu slope between the two masked convs. The reference uses torch's
 # 0.01 default; we use 1/16 so the host-side integer-exact prediction path
@@ -82,6 +84,7 @@ class ModelSpec:
     specs: dict  # name -> QSpec
     seed_tag: str
     entropy_mode: str = "channel"  # "channel" | "spatio" | ctx family | ...
+    ctx_hidden: int = CTX_HIDDEN  # masked-conv predictor hidden width
     ctx_detach_pred: bool = False
     """Training-only (never part of the pack format): stop the rate gradient
     at the context predictor's INPUT. With the reference semantics (False),
@@ -101,6 +104,7 @@ def build_model_spec(
     seed_tag: str = seeds.DEFAULT_TAG,
     entropy_mode: str = "channel",
     ctx_detach_pred: bool = False,
+    ctx_hidden: int = CTX_HIDDEN,
 ) -> ModelSpec:
     """Construct layer specs mirroring the reference architecture
     (``utils/network.py:4652-4751``)."""
@@ -125,8 +129,8 @@ def build_model_spec(
     if entropy_mode == "ctx":
         # autoregressive per-position mu/sigma predictor over the 2^3 latent
         # (reference PredNet: two causal masked convs, utils/network.py:4381-4412)
-        specs["ctx1"] = qc.make_masked_qspec(k("ctx1"), ch, CTX_HIDDEN, 3)
-        specs["ctx2"] = qc.make_masked_qspec(k("ctx2"), CTX_HIDDEN, 2 * ch, 3)
+        specs["ctx1"] = qc.make_masked_qspec(k("ctx1"), ch, ctx_hidden, 3)
+        specs["ctx2"] = qc.make_masked_qspec(k("ctx2"), ctx_hidden, 2 * ch, 3)
     elif entropy_mode == "ctx_ar":
         # ctx + channel autoregression: (mu_c, sigma_c) additionally see the
         # SAME position's channels < c (the reference mask zeroes the whole
@@ -134,22 +138,23 @@ def build_model_spec(
         # pure extra context at ~40 extra coded taps). Decode order becomes
         # (position, channel) raster — 8*ch host steps.
         m1 = qc.channel_ar_mask(
-            3, ch, CTX_HIDDEN,
+            3, ch, ctx_hidden,
             in_group=lambda i: i, out_group=lambda g: g % ch,
             center_strict=True,
         )
         m2 = qc.channel_ar_mask(
-            3, CTX_HIDDEN, 2 * ch,
+            3, ctx_hidden, 2 * ch,
             in_group=lambda g: g % ch, out_group=lambda o: o % ch,
             center_strict=False,
         )
-        specs["ctx1"] = qc.make_masked_qspec(k("ctx1"), ch, CTX_HIDDEN, 3, mask=m1)
-        specs["ctx2"] = qc.make_masked_qspec(k("ctx2"), CTX_HIDDEN, 2 * ch, 3, mask=m2)
+        specs["ctx1"] = qc.make_masked_qspec(k("ctx1"), ch, ctx_hidden, 3, mask=m1)
+        specs["ctx2"] = qc.make_masked_qspec(k("ctx2"), ctx_hidden, 2 * ch, 3, mask=m2)
     elif entropy_mode not in ("channel", "spatio", "gmm", "factorized"):
         raise ValueError(f"unknown entropy_mode: {entropy_mode}")
     return ModelSpec(
         ch=ch, channels=tuple(channels), specs=specs, seed_tag=seed_tag,
-        entropy_mode=entropy_mode, ctx_detach_pred=ctx_detach_pred,
+        entropy_mode=entropy_mode, ctx_hidden=ctx_hidden,
+        ctx_detach_pred=ctx_detach_pred,
     )
 
 
@@ -158,12 +163,73 @@ def build_model_spec(
 # ---------------------------------------------------------------------------
 
 
+def ctx_feature_init(spec: ModelSpec) -> dict:
+    """Structured init for the masked-conv predictor (ctx modes).
+
+    From the standard init (zero residuals + small seeded Kaiming), gradient
+    descent on the predictor reliably stalls near the MARGINAL rate: with
+    both masked layers near zero, each layer's gradient is proportional to
+    the other's weights, so the model learns sigma but never mu (measured in
+    round 3: 4.39 b/sym on a toy whose linear-conditional bound is 3.06; the
+    round-2 co-trained vox11 ctx predictor coded WORSE than its latents'
+    marginal for the same reason). This seeds layer 1 with +-pass-through
+    pairs — unit pairs carrying x[p+d, c] for the axis-neighbor offsets and,
+    in ctx_ar, the same-position earlier channels through the gated center —
+    placed in hidden groups the layer-2 center gate can read (group of unit
+    i is i % ch, matching ``ops.conv.channel_ar_mask``). A +- pair is an
+    exact linear basis under the leaky-1/16 nonlinearity, so the layer-2
+    readout becomes a quasi-linear fit. Layer 2 starts at zero; both layers'
+    seeded inits are cancelled so the features are clean (measured better
+    than injecting on top of the random inits, vox10 probe round 3)."""
+    ch = spec.ch
+    out = {n: qc.conv_init(spec.specs[n]) for n in CTX_KERNELS}
+    s1 = spec.specs["ctx1"]
+    hidden = s1.out_ch
+    # cancel the seeded init so the features are exact (measured better than
+    # injecting on top of the random init: cleaner features out-fit the
+    # payload cost of the extra nonzero residuals — vox10 probe, round 3)
+    k1 = -np.asarray(s1.kernel_init, np.float64).copy()
+    mask1 = np.broadcast_to(np.asarray(s1.mask), s1.kernel_shape)
+    groups = {g: [i for i in range(hidden) if i % ch == g] for g in range(ch)}
+    spatial = [
+        (dz, dy, dx, c)
+        for (dz, dy, dx) in ((0, 0, -1), (0, -1, 0), (-1, 0, 0))
+        for c in range(ch)
+    ]
+    g0 = groups[0]
+    pairs = [(g0[2 * j], g0[2 * j + 1]) for j in range(len(g0) // 2)]
+    for (dz, dy, dx, c), (up, um) in zip(spatial, pairs):
+        k1[dz + 1, dy + 1, dx + 1, c, up] += 1.0
+        k1[dz + 1, dy + 1, dx + 1, c, um] -= 1.0
+    if spec.entropy_mode == "ctx_ar":
+        used: set = set()
+        for cp in range(ch - 1):
+            cands = [
+                i for g in range(cp + 1, ch) for i in groups[g] if i not in used
+            ]
+            if len(cands) >= 2:
+                up, um = cands[0], cands[1]
+                used.update((up, um))
+                k1[1, 1, 1, cp, up] += 1.0
+                k1[1, 1, 1, cp, um] -= 1.0
+    k1 *= mask1  # no energy on masked taps (they are never coded)
+    out["ctx1"]["kernel"] = jnp.asarray(k1, jnp.float32)
+    s2 = spec.specs["ctx2"]
+    k2 = -np.asarray(s2.kernel_init, np.float64) * np.broadcast_to(
+        np.asarray(s2.mask), s2.kernel_shape
+    )
+    out["ctx2"]["kernel"] = jnp.asarray(k2, jnp.float32)
+    return out
+
+
 def init_params(spec: ModelSpec) -> dict:
     """Full trainable pytree. Residual kernels start at zero; entropy-model
-    sigma at 1, mu at 0 (reference ``utils/network.py:4504-4512``)."""
+    sigma at 1, mu at 0 (reference ``utils/network.py:4504-4512``). The ctx
+    predictor starts from :func:`ctx_feature_init` (the zero start is the
+    measured-bad basin)."""
     p = {name: qc.conv_init(s) for name, s in spec.specs.items()}
     if spec.entropy_mode in CTX_MODES:
-        entropy = {"ctx1": p["ctx1"], "ctx2": p["ctx2"]}
+        entropy = ctx_feature_init(spec)
     elif spec.entropy_mode == "gmm":
         entropy = rate.gmm2_init(spec.ch)
     elif spec.entropy_mode == "factorized":
@@ -431,7 +497,7 @@ def get_network_bits(spec: ModelSpec, params: dict) -> float:
     if spec.entropy_mode in CTX_MODES:
         # masked ctx kernel residual rate + fp32 ctx biases; no sigma/mu table
         entropy_bits = float(ctx_kernel_bits(spec, params).sum())
-        entropy_bits += (CTX_HIDDEN + 2 * spec.ch) * 32
+        entropy_bits += (spec.ctx_hidden + 2 * spec.ch) * 32
     elif spec.entropy_mode in ("gmm", "factorized"):
         n_entropy = sum(int(np.prod(np.shape(v))) for v in params["entropy"].values())
         entropy_bits = n_entropy * 32  # all entropy-model leaves ship fp32

@@ -143,6 +143,15 @@ def rd_loss(
 
     pacc, nacc = L.acc_dense(out, gt_b, block_mask=block_mask)
     sse, denom = L.sse1(out, gt_b, dist_b, cfg.sse_thh, block_mask=block_mask)
+    # codable-alphabet guard: the coder clamps rounded latents outside
+    # [-512, 512); track the max magnitude so drift toward the edge is
+    # caught during training, not first at encode time (codec.py warns there
+    # too, but by then the rate is already paid).
+    lat = jax.lax.stop_gradient(M.latent_gen_apply(spec, params, emb_b))
+    lat = jnp.abs(jnp.rint(lat))
+    if block_mask is not None:
+        lat = lat * block_mask.reshape((-1,) + (1,) * (lat.ndim - 1))
+    lat_amax = lat.max()
     metrics = {
         "loss": loss,
         "bce": bce,
@@ -155,6 +164,7 @@ def rd_loss(
         "b_net": b_net,
         "sse": sse,
         "denom": denom,
+        "lat_amax": lat_amax,
     }
     return loss, metrics
 
@@ -252,12 +262,20 @@ def summarize_metrics(metrics) -> dict:
     sse, denom = float(m["sse"].sum()), float(m["denom"].sum())
     out["mse1"] = sse / max(denom, 1.0)
     out["psnr1"] = L.psnr1_from_sse(sse, max(denom, 1e-9))
+    if "lat_amax" in m:
+        out["lat_amax"] = float(m["lat_amax"].max())
     return out
 
 
 class TrainDivergence(RuntimeError):
     """Raised when the loss goes non-finite (the reference instead drops into
     an interactive IPython shell, ``NVFPCC.py:199-212``; a framework raises)."""
+
+
+# warn when a rounded latent approaches the coder's +-512 alphabet edge: past
+# it the codec clamps (parity-safe but rate-lossy), so drift should surface
+# during training, not at encode time
+LATENT_GUARD = 480.0
 
 
 def train(
@@ -290,6 +308,7 @@ def train(
     spec = M.build_model_spec(
         model_cfg.ch, model_cfg.channels, model_cfg.seed_tag,
         model_cfg.entropy_mode, getattr(model_cfg, "ctx_detach_pred", False),
+        getattr(model_cfg, "ctx_hidden", M.CTX_HIDDEN),
     )
 
     # With a mesh, pad the block axis to a multiple of the mesh size (GSPMD
@@ -394,6 +413,15 @@ def train(
             es = summarize_metrics(
                 jax.device_get(eval_fn(params, emb, gt_d, dist_d, block_valid, rd_w))
             )
+            if es.get("lat_amax", 0.0) > LATENT_GUARD:
+                import warnings
+
+                warnings.warn(
+                    f"epoch {epoch}: max |rounded latent| = {es['lat_amax']:.0f} "
+                    f"is approaching the coder alphabet edge (512); encode "
+                    "will clamp (rate loss). Consider a larger lambda*w1 or "
+                    "checking for divergence."
+                )
             log(
                 f"[Epoch {epoch:04d} TEST] Loss: {es['loss']:.4e} "
                 f"Pacc: {es['pacc']:.4f} Nacc: {es['nacc']:.4f} bpp: {es['bpp']:.4f} "

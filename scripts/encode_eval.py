@@ -24,6 +24,9 @@ def main() -> int:
     ap.add_argument("--depth", type=int, default=10)
     ap.add_argument("--level", type=int, default=5)
     ap.add_argument("--thh", type=float, default=0.65)
+    ap.add_argument("--ctx_post", action="store_true")
+    ap.add_argument("--ctx_hidden", type=int, default=8)
+    ap.add_argument("--ctx_fit_steps", type=int, default=3000)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -40,12 +43,20 @@ def main() -> int:
     common = ["--depth", str(args.depth), "--level", str(args.level)]
     stats = {}
     t0 = time.perf_counter()
-    cli_main(["encode", args.cloud, *common, "--load_checkpoint", args.ckpt,
-              "--entropy_mode", args.entropy_mode, "--pack_fn", pack,
-              "--recon", rc_enc, "--thh", str(args.thh)])
+    extra = ["--ctx_hidden", str(args.ctx_hidden)]
+    if args.ctx_post:
+        extra += ["--ctx_post", "--ctx_fit_steps", str(args.ctx_fit_steps)]
+    rc = cli_main(["encode", args.cloud, *common, "--load_checkpoint", args.ckpt,
+                   "--entropy_mode", args.entropy_mode, "--pack_fn", pack,
+                   "--recon", rc_enc, "--thh", str(args.thh), *extra])
+    if rc:
+        # do NOT fall through to stale pack/rc_*.ply files from a previous run
+        raise SystemExit(f"encode stage failed with status {rc}")
     stats["encode_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
-    cli_main(["decode", pack, "--recon", rc_dec])
+    rc = cli_main(["decode", pack, "--recon", rc_dec])
+    if rc:
+        raise SystemExit(f"decode stage failed with status {rc}")
     stats["decode_s"] = round(time.perf_counter() - t0, 2)
     a, b = read_ply_points(rc_enc), read_ply_points(rc_dec)
     stats["parity"] = a.shape == b.shape and bool(np.array_equal(a, b))
@@ -56,6 +67,15 @@ def main() -> int:
     stats["pack_bytes"] = os.path.getsize(pack)
     stats["bpp"] = round(8.0 * stats["pack_bytes"] / len(src), 4)
     stats["entropy_mode"] = args.entropy_mode
+    from nvfpcc_tpu import codec as _codec
+
+    pk = _codec.load_pack(pack)
+    stats["b_latent_stream"] = round(
+        8.0 * len(pk["latent_pack"]["stream"]) / len(src), 4
+    )
+    if "ctx_hidden" in pk["model"]:
+        stats["ctx_hidden"] = int(pk["model"]["ctx_hidden"])
+    stats["ctx_post"] = bool(args.ctx_post)
     line = json.dumps(stats)
     print(line, flush=True)
     if args.out:

@@ -23,6 +23,61 @@ class TestRangeCoder:
         out = RC.decode(stream, table_ids, cum)
         assert np.array_equal(out, symbols)
 
+    @pytest.mark.parametrize("seed", range(3))
+    def test_streaming_decoder_matches_oneshot(self, seed):
+        """A stream decoded in arbitrary chunks through StreamingDecoder (with
+        per-chunk table subsets) equals the one-shot decode."""
+        rng = np.random.default_rng(seed + 100)
+        ntab = int(rng.integers(2, 6))
+        n = int(rng.integers(10, 3000))
+        sigma = rng.uniform(0.01, 50.0, ntab).astype(np.float32)
+        mu = rng.uniform(-50, 50, ntab).astype(np.float32)
+        cum = RC.build_cum_tables(sigma, mu + RC.OFFSET)
+        symbols = rng.integers(0, RC.N_SYM, n).astype(np.int32)
+        table_ids = rng.integers(0, ntab, n).astype(np.int32)
+        stream = RC.encode(symbols, table_ids, cum)
+
+        out = np.empty(0, np.int32)
+        with RC.StreamingDecoder(stream) as dec:
+            off = 0
+            while off < n:
+                k = int(rng.integers(1, max(2, n // 4)))
+                ids = table_ids[off : off + k]
+                # per-call table subset with remapped ids (what ctx_coder does)
+                uk, inv = np.unique(ids, return_inverse=True)
+                chunk = dec.decode(inv.astype(np.int32), cum[uk])
+                out = np.concatenate([out, chunk])
+                off += k
+        assert np.array_equal(out, symbols)
+
+    def test_streaming_decoder_close_idempotent(self):
+        cum = RC.build_cum_tables(
+            np.float32([1.0]), np.float32([0.0]) + RC.OFFSET
+        )
+        ids = np.zeros(5, np.int32)
+        stream = RC.encode(np.full(5, RC.OFFSET, np.int32), ids, cum)
+        dec = RC.StreamingDecoder(stream)
+        assert np.array_equal(dec.decode(ids, cum), np.full(5, RC.OFFSET))
+        dec.close()
+        dec.close()
+        with pytest.raises(ValueError):
+            dec.decode(ids, cum)
+
+    def test_native_erf_matches_math_erf(self):
+        """The batch erf the table builder uses must agree bit-exactly with
+        math.erf (tables are a format contract; _select_erf_impl would fall
+        back to the Python loop on mismatch, so this asserts we are NOT on
+        the slow path on this platform)."""
+        import math
+
+        rng = np.random.default_rng(0)
+        x = np.concatenate(
+            [rng.uniform(-60, 60, 20000), rng.normal(0, 1e-6, 1000)]
+        )
+        got = RC._erf_batch(x)
+        expect = np.asarray([math.erf(v) for v in x], np.float64)
+        assert np.array_equal(got, expect)
+
     def test_rate_near_entropy(self):
         """Coded length within a few % of the model cross-entropy for
         model-matched data."""

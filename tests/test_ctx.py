@@ -187,6 +187,29 @@ class TestCtxCoder:
         dec = CTX.decode_latents_ctx(enc["stream"], enc["shape"], ints)
         assert np.array_equal(dec, enc["coded"])
 
+    def test_nondefault_qp_roundtrip(self):
+        """ctx packs at qp != 16 work end-to-end: the residual grid travels in
+        the payload and the fixed-point predictor scales by KSCALE/qp."""
+        spec = ctx_spec()
+        params = random_ctx_params(spec, seed=3)
+        for qp in (8, 32):
+            qparams = W.quantize_residuals(params, qp)
+            payload = CTX.build_ctx_payload(spec, qparams["entropy"], qp)
+            assert payload["qp"] == qp
+            ints = CTX.ctx_ints_from_payload(spec, payload)
+            lat = np.random.default_rng(qp).integers(
+                -40, 41, (16, 2, 2, 2, 3)
+            ).astype(np.int64)
+            enc = CTX.encode_latents_ctx(lat, ints)
+            dec = CTX.decode_latents_ctx(enc["stream"], enc["shape"], ints)
+            assert np.array_equal(dec, enc["coded"])
+
+    def test_qp_not_dividing_kscale_rejected(self):
+        spec = ctx_spec()
+        params = random_ctx_params(spec, seed=4)
+        with pytest.raises(ValueError, match="qp dividing"):
+            CTX.build_ctx_payload(spec, W.quantize_residuals(params, 5)["entropy"], 5)
+
     def test_payload_roundtrip_and_bits(self):
         spec = ctx_spec()
         params = random_ctx_params(spec, seed=7)
