@@ -88,13 +88,16 @@ def _add_model(p: argparse.ArgumentParser) -> None:
     p.add_argument("--chanstr", type=str, default="8,16,8,8", help="decoder channels")
     p.add_argument(
         "--entropy_mode",
-        choices=("channel", "spatio", "ctx", "ctx_ar", "gmm", "factorized"),
-        default="channel",
+        choices=("auto", "channel", "spatio", "ctx", "ctx_ar", "gmm", "factorized"),
+        default="auto",
         help="latent entropy model: per-channel (sigma,mu); per-position "
         "(spatio); autoregressive masked-conv context prediction (ctx); "
         "ctx plus same-position channel autoregression (ctx_ar); per-channel "
         "2-component Gaussian mixture (gmm); per-channel factorized "
-        "logit-CDF MLP (factorized)",
+        "logit-CDF MLP (factorized). 'auto' (default) picks the measured "
+        "best: train chooses ctx at level<=5 scales (where it strictly "
+        "dominates, RESULTS.md) else channel; encode reads the mode from "
+        "the checkpoint metadata",
     )
     p.add_argument(
         "--ctx_detach_pred", action="store_true",
@@ -130,6 +133,12 @@ def cmd_train(args) -> int:
     from nvfpcc_tpu.config import TrainConfig
     from nvfpcc_tpu.train.loop import train
 
+    if args.entropy_mode == "auto":
+        # measured guidance (RESULTS.md): co-trained ctx strictly dominates
+        # the channel design at vox10-like scales (level <= 5); at deeper
+        # levels the channel model is the RD anchor (ctx sits on-curve)
+        args.entropy_mode = "ctx" if args.level <= 5 else "channel"
+        print(f"[train] entropy_mode auto -> {args.entropy_mode} (level {args.level})")
     _apply_platform(args)
     art = load_or_build_artifacts(
         args.cloud, args.depth, args.level, platform=_grids_platform(args)
@@ -170,7 +179,7 @@ def _load_train_state(args, n_blocks: int):
         path = C.latest_checkpoint(path)
         if path is None:
             raise SystemExit(f"no checkpoints in {args.load_checkpoint}")
-    params, emb = C.load_checkpoint(path)
+    params, emb, meta = C.load_checkpoint_meta(path)
     if emb is None:
         raise SystemExit(f"checkpoint {path} has no embeddings")
     if emb.shape[0] != n_blocks:
@@ -180,7 +189,7 @@ def _load_train_state(args, n_blocks: int):
             "mismatch with the training run (latent rows would map to the "
             "wrong blocks)"
         )
-    return params, emb
+    return params, emb, meta
 
 
 def cmd_encode(args) -> int:
@@ -194,7 +203,14 @@ def cmd_encode(args) -> int:
     )
     n_blocks = len(art["origins"])
     n_points = int(art["gt"].sum())
-    params, emb = _load_train_state(args, n_blocks)
+    params, emb, meta = _load_train_state(args, n_blocks)
+    if args.entropy_mode == "auto":
+        # the checkpoint knows what entropy model it was trained with;
+        # old checkpoints without metadata are channel-era
+        meta = meta or {}
+        args.entropy_mode = str(meta.get("entropy_mode", "channel"))
+        args.ctx_hidden = int(meta.get("ctx_hidden", args.ctx_hidden))
+        print(f"[encode] entropy_mode auto -> {args.entropy_mode} (from checkpoint)")
     mcfg = _model_cfg(args)
     if args.ctx_post:
         # post-hoc predictor fit: entropy-upgrade ANY trained checkpoint to a

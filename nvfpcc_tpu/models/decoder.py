@@ -224,12 +224,19 @@ def ctx_feature_init(spec: ModelSpec) -> dict:
 
 def init_params(spec: ModelSpec) -> dict:
     """Full trainable pytree. Residual kernels start at zero; entropy-model
-    sigma at 1, mu at 0 (reference ``utils/network.py:4504-4512``). The ctx
-    predictor starts from :func:`ctx_feature_init` (the zero start is the
-    measured-bad basin)."""
+    sigma at 1, mu at 0 (reference ``utils/network.py:4504-4512``).
+
+    The ctx predictor ALSO starts at zero residuals, like the reference —
+    deliberately, despite the optimization deadlock :func:`ctx_feature_init`
+    fixes: round-3 A/B runs showed co-training with a WORKING predictor is
+    an RD net loss (vox10 ctx b_latent 0.0917 → 0.1070; vox11 ctx_ar
+    dominated by channel), because the large co-trained rate cuts come from
+    the rate gradient warping latents toward predictability — a weak
+    predictor maximizes that pressure. The feature init is the default for
+    POST-HOC fitting (``train/ctx_fit.py``), where it measurably wins."""
     p = {name: qc.conv_init(s) for name, s in spec.specs.items()}
     if spec.entropy_mode in CTX_MODES:
-        entropy = ctx_feature_init(spec)
+        entropy = {"ctx1": p["ctx1"], "ctx2": p["ctx2"]}
     elif spec.entropy_mode == "gmm":
         entropy = rate.gmm2_init(spec.ch)
     elif spec.entropy_mode == "factorized":

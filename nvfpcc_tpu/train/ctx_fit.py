@@ -37,8 +37,9 @@ from nvfpcc_tpu.ops import rate
 from nvfpcc_tpu.ops.ste import bypass_round16
 
 
-# the structured predictor init lives with the model (it is also the ctx
-# TRAINING init since round 3); re-exported here for fit callers
+# the structured predictor init lives with the model; it is the POST-HOC fit
+# init only — co-training measurably does better from the reference's zero
+# init (see init_params), so training does not use it
 feature_init_ctx = M.ctx_feature_init
 
 

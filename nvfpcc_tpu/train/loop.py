@@ -451,6 +451,13 @@ def train(
                     ckpt_util.save_checkpoint(
                         checkpoint_dir, epoch, save_state.params,
                         save_state.emb[:n_blocks],
+                        meta={
+                            "ch": model_cfg.ch,
+                            "chanstr": model_cfg.chanstr,
+                            "seed_tag": model_cfg.seed_tag,
+                            "entropy_mode": model_cfg.entropy_mode,
+                            "ctx_hidden": getattr(model_cfg, "ctx_hidden", 8),
+                        },
                     )
                     ckpt_util.save_train_state(checkpoint_dir, epoch, save_state)
 

@@ -38,18 +38,39 @@ def flat_to_tree(flat: dict) -> dict:
     return tree
 
 
-def save_checkpoint(directory: str, epoch: int, params, emb) -> str:
+def save_checkpoint(directory: str, epoch: int, params, emb, meta=None) -> str:
+    """``meta`` (JSON-able dict, e.g. the model config) rides in the file so
+    downstream tools (``encode --entropy_mode auto``) can rebuild the right
+    model without the user restating flags."""
+    import json
+
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{epoch:04d}.npz")
-    np.savez(path, **tree_to_flat(params), __emb__=np.asarray(emb))
+    extra = {}
+    if meta is not None:
+        extra["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), np.uint8
+        )
+    np.savez(path, **tree_to_flat(params), __emb__=np.asarray(emb), **extra)
     return path
 
 
 def load_checkpoint(path: str):
     """Returns (params pytree, emb array)."""
+    params, emb, _ = load_checkpoint_meta(path)
+    return params, emb
+
+
+def load_checkpoint_meta(path: str):
+    """Returns (params pytree, emb array, meta dict or None)."""
+    import json
+
     data = dict(np.load(path))
     emb = data.pop("__emb__", None)
-    return flat_to_tree(data), emb
+    meta = data.pop("__meta__", None)
+    if meta is not None:
+        meta = json.loads(meta.tobytes().decode("utf-8"))
+    return flat_to_tree(data), emb, meta
 
 
 def latest_checkpoint(directory: str):
