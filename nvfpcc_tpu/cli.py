@@ -95,9 +95,9 @@ def _add_model(p: argparse.ArgumentParser) -> None:
         "ctx plus same-position channel autoregression (ctx_ar); per-channel "
         "2-component Gaussian mixture (gmm); per-channel factorized "
         "logit-CDF MLP (factorized). 'auto' (default) picks the measured "
-        "best: train chooses ctx at level<=5 scales (where it strictly "
-        "dominates, RESULTS.md) else channel; encode reads the mode from "
-        "the checkpoint metadata",
+        "best (RESULTS.md): train chooses ctx; encode reads the mode from "
+        "the checkpoint metadata, upgrading ctx checkpoints at deep scales "
+        "(level >= 6) with the post-hoc ctx_ar predictor fit (ctx_post)",
     )
     p.add_argument(
         "--ctx_detach_pred", action="store_true",
@@ -110,6 +110,30 @@ def _add_model(p: argparse.ArgumentParser) -> None:
         help="ctx modes: masked-conv predictor hidden width (8 = reference "
         "PredNet; travels in the pack model metadata)",
     )
+
+
+def resolve_auto_train(level: int) -> str:
+    """`--entropy_mode auto` at train time: co-trained ctx strictly dominates
+    the channel design at vox10-like scales, and at deeper scales (vox11,
+    where latents dominate the pack) the plain-ctx checkpoint is the input
+    the measured-dominant encode recipe (ctx_post) needs — channel-trained
+    latents are conditionally unpredictable so they cannot be upgraded
+    (RESULTS.md round-3 measurements)."""
+    del level  # measured guidance is scale-independent: train ctx everywhere
+    return "ctx"
+
+
+def resolve_auto_encode(trained_mode: str, trained_hidden: int, level: int):
+    """`--entropy_mode auto` at encode time -> (entropy_mode, ctx_hidden,
+    ctx_post). Deep scales (level >= 6: latents dominate the pack) upgrade a
+    ctx-family checkpoint with the post-hoc fitted channel-AR predictor — the
+    measured strictly-dominant vox11 point (RESULTS.md: 0.1568 bpp @ 79.97 dB
+    vs channel 0.1576 @ 79.76). At vox10-like scales the hidden-16 predictor
+    payload cancels the latent gain, so the pack keeps the checkpoint's own
+    entropy model."""
+    if trained_mode in ("ctx", "ctx_ar") and level >= 6:
+        return "ctx_ar", 16, True
+    return trained_mode, trained_hidden, False
 
 
 def _model_cfg(args):
@@ -134,11 +158,12 @@ def cmd_train(args) -> int:
     from nvfpcc_tpu.train.loop import train
 
     if args.entropy_mode == "auto":
-        # measured guidance (RESULTS.md): co-trained ctx strictly dominates
-        # the channel design at vox10-like scales (level <= 5); at deeper
-        # levels the channel model is the RD anchor (ctx sits on-curve)
-        args.entropy_mode = "ctx" if args.level <= 5 else "channel"
-        print(f"[train] entropy_mode auto -> {args.entropy_mode} (level {args.level})")
+        args.entropy_mode = resolve_auto_train(args.level)
+        print(
+            f"[train] entropy_mode auto -> {args.entropy_mode} (measured "
+            "dominant at vox10; at deeper scales encode upgrades it with "
+            "ctx_post — RESULTS.md)"
+        )
     _apply_platform(args)
     art = load_or_build_artifacts(
         args.cloud, args.depth, args.level, platform=_grids_platform(args)
@@ -208,9 +233,22 @@ def cmd_encode(args) -> int:
         # the checkpoint knows what entropy model it was trained with;
         # old checkpoints without metadata are channel-era
         meta = meta or {}
-        args.entropy_mode = str(meta.get("entropy_mode", "channel"))
-        args.ctx_hidden = int(meta.get("ctx_hidden", args.ctx_hidden))
-        print(f"[encode] entropy_mode auto -> {args.entropy_mode} (from checkpoint)")
+        trained = str(meta.get("entropy_mode", "channel"))
+        trained_hidden = int(meta.get("ctx_hidden", args.ctx_hidden))
+        mode, hidden, post = resolve_auto_encode(
+            trained, trained_hidden, args.level
+        )
+        args.entropy_mode, args.ctx_hidden = mode, hidden
+        if post and not args.ctx_post:
+            args.ctx_post = True
+            print(
+                "[encode] entropy_mode auto -> ctx_ar + ctx_post (hidden 16): "
+                "post-hoc predictor upgrade of the ctx checkpoint — the "
+                "measured deep-scale recipe (RESULTS.md); pass an explicit "
+                "--entropy_mode to opt out"
+            )
+        else:
+            print(f"[encode] entropy_mode auto -> {mode} (from checkpoint)")
     mcfg = _model_cfg(args)
     if args.ctx_post:
         # post-hoc predictor fit: entropy-upgrade ANY trained checkpoint to a

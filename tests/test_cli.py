@@ -60,3 +60,28 @@ class TestFunctional:
         write_ply_points(p, np.array([[0, 0, 4096]]))
         with pytest.raises(SystemExit):
             main(["grids", p, "--depth", "6", "--level", "1"])
+
+
+class TestAutoEntropyMode:
+    """`--entropy_mode auto` resolution — the defaults must match the
+    measured guidance published in RESULTS.md."""
+
+    def test_train_resolves_to_ctx_everywhere(self):
+        from nvfpcc_tpu.cli import resolve_auto_train
+
+        assert resolve_auto_train(5) == "ctx"
+        assert resolve_auto_train(6) == "ctx"
+
+    def test_encode_keeps_checkpoint_mode_at_shallow_scale(self):
+        from nvfpcc_tpu.cli import resolve_auto_encode
+
+        assert resolve_auto_encode("ctx", 8, 5) == ("ctx", 8, False)
+        assert resolve_auto_encode("channel", 8, 5) == ("channel", 8, False)
+
+    def test_encode_upgrades_ctx_family_at_deep_scale(self):
+        from nvfpcc_tpu.cli import resolve_auto_encode
+
+        assert resolve_auto_encode("ctx", 8, 6) == ("ctx_ar", 16, True)
+        assert resolve_auto_encode("ctx_ar", 8, 7) == ("ctx_ar", 16, True)
+        # channel-trained latents are conditionally unpredictable — no upgrade
+        assert resolve_auto_encode("channel", 8, 6) == ("channel", 8, False)
