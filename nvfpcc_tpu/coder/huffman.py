@@ -5,10 +5,11 @@ scaled by qp (=16) to integers, a Huffman codebook is built from their
 empirical histogram, and the symbol stream is bit-packed. The reference uses
 the ``bitstream`` pip package and a per-bit string decoder
 (``util_code_quantized_weights.py:108-148``); here packing is vectorized
-``np.packbits`` and decoding walks a canonical code table — no external
-dependency. Decode is a per-bit Python loop (O(total code bits)) — fine at
-the ~51k-symbol weight scale this is used for; the range-coder path has
-replaced it as the default weight codec.
+``np.packbits`` and decoding walks a canonical code table in native C
+(``native/huffman.cpp``, built on demand like the range coder), with a pure
+Python walk as fallback and test oracle. The range-coder path has replaced
+Huffman as the default weight codec; this module remains the v2-pack decode
+path.
 
 The codebook is serialized in *canonical* form (symbol list + code lengths),
 which is both smaller than the reference's pickled dict-of-bitstrings and
@@ -17,11 +18,60 @@ deterministic.
 
 from __future__ import annotations
 
+import ctypes
 import heapq
+import os
+import subprocess
+import threading
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 
 import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libnvfpcc_huffman.so")
+
+_lib = None
+_lib_failed = False
+_lib_lock = threading.Lock()
+
+
+def _load_lib():
+    """Load (building on first use) the native decoder; None if unavailable
+    (no toolchain) — callers fall back to the pure-Python walk."""
+    global _lib, _lib_failed
+    with _lib_lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            src = os.path.join(_NATIVE_DIR, "huffman.cpp")
+            if not os.path.exists(_LIB_PATH) or (
+                os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+            ):
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "all"],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.nvfpcc_huffman_decode.restype = ctypes.c_int
+            lib.nvfpcc_huffman_decode.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),  # stream
+                ctypes.c_int64,  # stream_bytes
+                ctypes.POINTER(ctypes.c_int64),  # symbols
+                ctypes.POINTER(ctypes.c_uint8),  # lengths
+                ctypes.c_int64,  # n_cb
+                ctypes.c_int64,  # n_syms
+                ctypes.POINTER(ctypes.c_int64),  # out
+            ]
+            _lib = lib
+        except (OSError, subprocess.CalledProcessError):
+            _lib_failed = True
+        return _lib
 
 
 @dataclass
@@ -100,7 +150,33 @@ def encode(values: np.ndarray, cb: HuffmanCodebook) -> bytes:
 
 
 def decode(stream: bytes, cb: HuffmanCodebook, n: int) -> np.ndarray:
-    """Decode ``n`` symbols from the bitstream (canonical table walk)."""
+    """Decode ``n`` symbols from the bitstream (canonical table walk,
+    native C with a pure-Python fallback)."""
+    lib = _load_lib()
+    if lib is not None:
+        buf = np.frombuffer(stream, np.uint8)
+        symbols = np.ascontiguousarray(cb.symbols, np.int64)
+        lengths = np.ascontiguousarray(cb.lengths, np.uint8)
+        out = np.empty(n, np.int64)
+        rc = lib.nvfpcc_huffman_decode(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(len(buf)),
+            symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(len(symbols)),
+            ctypes.c_int64(n),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if rc == -2:
+            raise ValueError("malformed Huffman codebook")
+        if rc != 0:
+            raise ValueError("corrupt Huffman stream")
+        return out
+    return _decode_py(stream, cb, n)
+
+
+def _decode_py(stream: bytes, cb: HuffmanCodebook, n: int) -> np.ndarray:
+    """Pure-Python canonical walk — the native decoder's oracle."""
     bits = np.unpackbits(np.frombuffer(stream, np.uint8))
     codes, lengths = _canonical_codes(cb)
     # first_code[L], first_idx[L] tables for canonical decoding

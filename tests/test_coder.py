@@ -128,3 +128,33 @@ class TestHuffman:
         stream = huffman.encode(vals, cb)
         out = huffman.decode(stream, cb, len(vals))
         assert np.array_equal(out, vals)
+
+    def test_native_matches_python_walk(self):
+        """The native decoder and the pure-Python oracle agree bit-for-bit."""
+        if huffman._load_lib() is None:
+            pytest.skip("native huffman lib unavailable")
+        rng = np.random.default_rng(7)
+        # skewed distribution -> codes of many different lengths
+        vals = np.rint(rng.standard_t(2, 8000) * 5).astype(np.int64)
+        cb = huffman.build_codebook(vals)
+        stream = huffman.encode(vals, cb)
+        native = huffman.decode(stream, cb, len(vals))
+        oracle = huffman._decode_py(stream, cb, len(vals))
+        assert np.array_equal(native, oracle)
+        assert np.array_equal(native, vals)
+
+    def test_native_rejects_corrupt_stream(self):
+        if huffman._load_lib() is None:
+            pytest.skip("native huffman lib unavailable")
+        vals = np.arange(64, dtype=np.int64) % 7
+        cb = huffman.build_codebook(vals)
+        stream = huffman.encode(vals, cb)
+        with pytest.raises(ValueError):
+            # ask for more symbols than the stream holds
+            huffman.decode(stream, cb, len(vals) * 50)
+
+    def test_single_symbol_codebook(self):
+        vals = np.zeros(100, np.int64)
+        cb = huffman.build_codebook(vals)
+        stream = huffman.encode(vals, cb)
+        assert np.array_equal(huffman.decode(stream, cb, 100), vals)
