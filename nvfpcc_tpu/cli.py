@@ -84,8 +84,16 @@ def _grids_platform(args) -> str:
 
 
 def _add_model(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--ch", type=int, default=3, help="latent channels")
-    p.add_argument("--chanstr", type=str, default="8,16,8,8", help="decoder channels")
+    # ch/chanstr default to None so encode can tell "user said nothing" (fill
+    # from the checkpoint metadata) apart from an explicit override
+    p.add_argument(
+        "--ch", type=int, default=None,
+        help="latent channels (default 3; encode reads the checkpoint)",
+    )
+    p.add_argument(
+        "--chanstr", type=str, default=None,
+        help="decoder channels (default 8,16,8,8; encode reads the checkpoint)",
+    )
     p.add_argument(
         "--entropy_mode",
         choices=("auto", "channel", "spatio", "ctx", "ctx_ar", "gmm", "factorized"),
@@ -136,11 +144,17 @@ def resolve_auto_encode(trained_mode: str, trained_hidden: int, level: int):
     return trained_mode, trained_hidden, False
 
 
+_DEFAULT_CH = 3
+_DEFAULT_CHANSTR = "8,16,8,8"
+
+
 def _model_cfg(args):
     from nvfpcc_tpu.config import ModelConfig
 
     return ModelConfig(
-        ch=args.ch, chanstr=args.chanstr, entropy_mode=args.entropy_mode,
+        ch=args.ch if args.ch is not None else _DEFAULT_CH,
+        chanstr=args.chanstr if args.chanstr is not None else _DEFAULT_CHANSTR,
+        entropy_mode=args.entropy_mode,
         ctx_detach_pred=getattr(args, "ctx_detach_pred", False),
         ctx_hidden=getattr(args, "ctx_hidden", 8),
     )
@@ -229,6 +243,20 @@ def cmd_encode(args) -> int:
     n_blocks = len(art["origins"])
     n_points = int(art["gt"].sum())
     params, emb, meta = _load_train_state(args, n_blocks)
+    # model-size flags live in the checkpoint metadata: fill unstated flags
+    # from there (old checkpoints have no metadata -> built-in defaults) and
+    # reject explicit overrides that contradict the trained shapes, which
+    # would otherwise surface as a cryptic broadcast error deep in jit
+    for flag, default in (("ch", _DEFAULT_CH), ("chanstr", _DEFAULT_CHANSTR)):
+        trained_v = (meta or {}).get(flag)
+        given_v = getattr(args, flag)
+        if given_v is None:
+            setattr(args, flag, trained_v if trained_v is not None else default)
+        elif trained_v is not None and str(given_v) != str(trained_v):
+            raise SystemExit(
+                f"--{flag} {given_v} contradicts the checkpoint (trained with "
+                f"--{flag} {trained_v}); drop the flag to use the trained value"
+            )
     if args.entropy_mode == "auto":
         # the checkpoint knows what entropy model it was trained with;
         # old checkpoints without metadata are channel-era
