@@ -13,6 +13,11 @@ jitted programs (one per quantization phase q=1/q=2):
   runs the whole leaf set through the model and steps a second Adam on the
   embedding tensor only. This is the whole-volume operation that shards across
   the device mesh (see ``nvfpcc_tpu.parallel``).
+- Epochs between eval/checkpoint boundaries are CHUNKED into one program
+  (an outer ``lax.scan`` over the same epoch body — ``make_epochs_fn``): under
+  the remote-TPU tunnel each dispatch + metrics fetch is a host round-trip,
+  and nothing host-side needs to run between evals. Trajectory is unchanged
+  (bitwise on params; tested in ``tests/test_train_chunking.py``).
 
 Scheduling: MultiStepLR([300,400,450], 0.1) on the net optimizer. The
 reference constructs *both* schedulers over the net optimizer
@@ -176,16 +181,10 @@ def _prep_dense(gt: np.ndarray, dist: np.ndarray):
     return gt_d, dist_d
 
 
-def make_epoch_fn(
-    spec: M.ModelSpec,
-    cfg: TrainConfig,
-    net_opt,
-    emb_opt,
-    n_total_pts: float,
-    q: int,
-) -> Callable:
-    """One jitted epoch: scan of per-batch net updates, then the full-set
-    embedding update. Compiled once per q phase."""
+def _epoch_body(spec, cfg, net_opt, emb_opt, n_total_pts, q):
+    """(carry, per-epoch inputs) -> (carry, metrics) — one full epoch: scan of
+    per-batch net updates, then the full-set embedding update. Shared by the
+    single-epoch and chunked programs so both trace identical math."""
 
     def net_loss(params, emb_b, gt_b, dist_b, mask, key, rd_w):
         return rd_loss(
@@ -200,13 +199,8 @@ def make_epoch_fn(
         )
         return loss
 
-    # donate the threaded state: params/opt/emb buffers update in place on
-    # device instead of being copied every epoch
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def epoch_fn(
-        params, opt_state, emb, emb_opt_state, gt, dist, idx, mask, block_valid,
-        key, rd_w,
-    ):
+    def one_epoch(params, opt_state, emb, emb_opt_state, gt, dist, idx, mask,
+                  block_valid, key, rd_w):
         n_batches = idx.shape[0]
         keys = jax.random.split(key, n_batches + 1)
 
@@ -234,7 +228,81 @@ def make_epoch_fn(
 
         return params, opt_state, emb, emb_opt_state, metrics
 
+    return one_epoch
+
+
+def make_epoch_fn(
+    spec: M.ModelSpec,
+    cfg: TrainConfig,
+    net_opt,
+    emb_opt,
+    n_total_pts: float,
+    q: int,
+) -> Callable:
+    """One jitted epoch. Compiled once per q phase."""
+    one_epoch = _epoch_body(spec, cfg, net_opt, emb_opt, n_total_pts, q)
+
+    # donate the threaded state: params/opt/emb buffers update in place on
+    # device instead of being copied every epoch
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def epoch_fn(
+        params, opt_state, emb, emb_opt_state, gt, dist, idx, mask, block_valid,
+        key, rd_w,
+    ):
+        return one_epoch(
+            params, opt_state, emb, emb_opt_state, gt, dist, idx, mask,
+            block_valid, key, rd_w,
+        )
+
     return epoch_fn
+
+
+def make_epochs_fn(
+    spec: M.ModelSpec,
+    cfg: TrainConfig,
+    net_opt,
+    emb_opt,
+    n_total_pts: float,
+    q: int,
+) -> Callable:
+    """A CHUNK of epochs as one jitted program: ``lax.scan`` over K epochs of
+    the same per-epoch body as :func:`make_epoch_fn`, so the trajectory is
+    bit-identical to K single-epoch calls (keys are derived inside the
+    program via the same ``fold_in(base_key, epoch)`` the host loop used).
+
+    Motivation (CLAUDE.md "environment facts"): under the remote-TPU tunnel
+    every program dispatch and every metrics fetch is a host round-trip; at
+    ~0.5 s/epoch the per-epoch sync serializes compute against the tunnel.
+    Chunking the epochs between eval/checkpoint boundaries (default cadence
+    10) amortizes that to one round-trip per chunk. Stacked per-epoch inputs:
+    ``idx``/``mask`` gain a leading K axis, ``epoch_nums`` is the (K,) int32
+    epoch-number vector, and the stacked per-epoch metrics come back
+    (K, n_batches).
+    """
+    one_epoch = _epoch_body(spec, cfg, net_opt, emb_opt, n_total_pts, q)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def epochs_fn(
+        params, opt_state, emb, emb_opt_state, gt, dist, idx, mask, block_valid,
+        base_key, epoch_nums, rd_w,
+    ):
+        def body(carry, xs):
+            params, opt_state, emb, emb_opt_state = carry
+            e_idx, e_mask, e_num = xs
+            key = jax.random.fold_in(base_key, e_num)
+            params, opt_state, emb, emb_opt_state, metrics = one_epoch(
+                params, opt_state, emb, emb_opt_state, gt, dist, e_idx, e_mask,
+                block_valid, key, rd_w,
+            )
+            return (params, opt_state, emb, emb_opt_state), metrics
+
+        (params, opt_state, emb, emb_opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state, emb, emb_opt_state),
+            (idx, mask, epoch_nums),
+        )
+        return params, opt_state, emb, emb_opt_state, metrics
+
+    return epochs_fn
 
 
 def make_eval_fn(spec: M.ModelSpec, cfg: TrainConfig, n_total_pts: float):
@@ -344,7 +412,8 @@ def train(
         block_valid = jax.device_put(block_valid, pm.block_sharding(mesh))
 
     epoch_fns = {
-        q: make_epoch_fn(spec, cfg, net_opt, emb_opt, n_total_pts, q) for q in (1, 2)
+        q: make_epochs_fn(spec, cfg, net_opt, emb_opt, n_total_pts, q)
+        for q in (1, 2)
     }
     eval_fn = make_eval_fn(spec, cfg, n_total_pts)
     base_key = jax.random.PRNGKey(cfg.seed)
@@ -377,39 +446,67 @@ def train(
     # noise; the reference's only tracing is wall-clock prints (SURVEY §5).
     prof_start, prof_stop = 3, 5
 
-    for epoch in range(start_epoch, cfg.epochs):
-        if profile_dir is not None and epoch == prof_start:
+    def chunk_end(e0: int) -> int:
+        """Last epoch (inclusive) of the chunk starting at e0: stop at the
+        next eval/checkpoint boundary, the q phase change, and the end —
+        within a chunk no host code needs to run, so the whole chunk is one
+        program dispatch (one tunnel round-trip instead of one per epoch)."""
+        e1 = cfg.epochs - 1
+        if cfg.eval_every > 0:
+            n_boundary = e0 + (-e0) % cfg.eval_every  # first e >= e0, e % eval_every == 0
+            e1 = min(e1, n_boundary)
+        if e0 < cfg.phase_change:
+            e1 = min(e1, cfg.phase_change - 1)
+        if profile_dir is not None and e0 <= prof_stop + 1:
+            e1 = e0  # keep the profile window's epoch boundaries host-visible
+        return e1
+
+    profiling = False
+    epoch = start_epoch
+    while epoch < cfg.epochs:
+        e0, e1 = epoch, chunk_end(epoch)
+        k_epochs = e1 - e0 + 1
+        if profile_dir is not None and e0 == prof_start:
             jax.profiler.start_trace(profile_dir)
+            profiling = True
         t0 = time.time()
-        q = 1 if epoch < cfg.phase_change else 2
-        idx, mask = batch_plan(n_blocks, cfg.batch_size, cfg.shuffle, cfg.seed, epoch)
-        key = jax.random.fold_in(base_key, epoch)
+        q = 1 if e0 < cfg.phase_change else 2
+        plans = [
+            batch_plan(n_blocks, cfg.batch_size, cfg.shuffle, cfg.seed, e)
+            for e in range(e0, e1 + 1)
+        ]
+        idx = np.stack([p[0] for p in plans])
+        mask = np.stack([p[1] for p in plans])
         params, opt_state, emb, emb_opt_state, metrics = epoch_fns[q](
             state.params, state.opt_state, state.emb, state.emb_opt_state,
-            gt_d, dist_d, jnp.asarray(idx), jnp.asarray(mask), block_valid, key,
-            rd_w,
+            gt_d, dist_d, jnp.asarray(idx), jnp.asarray(mask), block_valid,
+            base_key, jnp.arange(e0, e1 + 1, dtype=jnp.int32), rd_w,
         )
-        state = TrainState(params, opt_state, emb, emb_opt_state, epoch)
-        s = summarize_metrics(jax.device_get(metrics))
-        if profile_dir is not None and epoch == prof_stop:
+        state = TrainState(params, opt_state, emb, emb_opt_state, e1)
+        chunk_s = (time.time() - t0) / k_epochs
+        metrics = jax.device_get(metrics)
+        if profiling and e0 >= prof_stop:
             jax.profiler.stop_trace()
             log(f"[train] profiler trace written to {profile_dir}")
-        if not np.isfinite(s["loss"]):
-            raise TrainDivergence(
-                f"non-finite loss at epoch {epoch} (q={q}): {s}"
+            profiling, profile_dir = False, None
+        for k, epoch in enumerate(range(e0, e1 + 1)):
+            s = summarize_metrics({name: v[k] for name, v in metrics.items()})
+            if not np.isfinite(s["loss"]):
+                raise TrainDivergence(
+                    f"non-finite loss at epoch {epoch} (q={q}): {s}"
+                )
+            if metrics_path is not None:
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps({"epoch": epoch, "q": q, **s}) + "\n")
+            log(
+                f"[Epoch {epoch:04d} TRAIN {chunk_s:.1f}s] "
+                f"Loss: {s['loss']:.4e} Pacc: {s['pacc']:.4f} Nacc: {s['nacc']:.4f} "
+                f"S1: {s['ms0']:.1f} S2: {s['ms1']:.1f} bpp: {s['bpp']:.4f} "
+                f"b_latent: {s['b_latent']:.4f} b_net: {s['b_net']:.4f} "
+                f"MSE1: {s['mse1']:.4f} PSNR1: {s['psnr1']:.4f}"
             )
-        if metrics_path is not None:
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps({"epoch": epoch, "q": q, **s}) + "\n")
-        log(
-            f"[Epoch {epoch:04d} TRAIN {time.time()-t0:.1f}s] "
-            f"Loss: {s['loss']:.4e} Pacc: {s['pacc']:.4f} Nacc: {s['nacc']:.4f} "
-            f"S1: {s['ms0']:.1f} S2: {s['ms1']:.1f} bpp: {s['bpp']:.4f} "
-            f"b_latent: {s['b_latent']:.4f} b_net: {s['b_net']:.4f} "
-            f"MSE1: {s['mse1']:.4f} PSNR1: {s['psnr1']:.4f}"
-        )
 
-        if epoch % cfg.eval_every == 0:
+        if cfg.eval_every > 0 and epoch % cfg.eval_every == 0:
             es = summarize_metrics(
                 jax.device_get(eval_fn(params, emb, gt_d, dist_d, block_valid, rd_w))
             )
@@ -460,6 +557,7 @@ def train(
                         },
                     )
                     ckpt_util.save_train_state(checkpoint_dir, epoch, save_state)
+        epoch = e1 + 1
 
     # strip mesh padding from the returned embeddings (callers see real blocks)
     state = TrainState(

@@ -1,0 +1,96 @@
+"""The chunked-epoch program (make_epochs_fn / train()) must reproduce the
+single-epoch trajectory exactly — chunking is a dispatch-latency optimization
+(one tunnel round-trip per eval interval instead of per epoch), not a
+numerics change. Both paths trace the same per-epoch body (_epoch_body), so
+the comparison here is bitwise."""
+
+import jax
+import numpy as np
+import pytest
+
+from nvfpcc_tpu.config import ModelConfig, TrainConfig
+from nvfpcc_tpu.models import decoder as M
+from nvfpcc_tpu.train import loop as T
+
+
+N_BLOCKS, EPOCHS = 7, 5
+
+
+def _toy_grids(seed=0):
+    rng = np.random.default_rng(seed)
+    gt = (rng.uniform(0, 1, (N_BLOCKS, 32, 32, 32)) < 0.02).astype(np.uint8)
+    dist = (rng.uniform(0, 6, gt.shape) * (1 - gt)).astype(np.float32)
+    return gt, dist
+
+
+@pytest.mark.parametrize("shuffle", ["stride", "random"])
+def test_chunked_train_matches_per_epoch_loop(shuffle):
+    gt, dist = _toy_grids()
+    mcfg = ModelConfig(ch=2, chanstr="4,8,4,4")
+    tcfg = TrainConfig(
+        batch_size=4, epochs=EPOCHS, phase_change=2, eval_every=2,
+        shuffle=shuffle, seed=3,
+    )
+
+    # chunked path: the production train() driver
+    _, state = T.train(gt, dist, mcfg, tcfg, log=lambda *_: None)
+
+    # oracle: one epoch per program dispatch, host-side fold_in per epoch
+    # (the pre-chunking driver loop, inlined)
+    spec = M.build_model_spec(mcfg.ch, mcfg.channels, mcfg.seed_tag,
+                              mcfg.entropy_mode)
+    params = M.init_params(spec)
+    emb = M.init_embeddings(N_BLOCKS, mcfg.ch)
+    steps_per_epoch = -(-N_BLOCKS // tcfg.batch_size)
+    net_opt, emb_opt = T.make_optimizers(tcfg, steps_per_epoch)
+    opt_state = net_opt.init(params)
+    emb_opt_state = emb_opt.init(emb)
+    gt_d, dist_d = T._prep_dense(gt, dist)
+    block_valid = np.ones((N_BLOCKS,), np.float32)
+    rd_w = T.rd_weights(tcfg)
+    base_key = jax.random.PRNGKey(tcfg.seed)
+    fns = {
+        q: T.make_epoch_fn(spec, tcfg, net_opt, emb_opt, float(gt.sum()), q)
+        for q in (1, 2)
+    }
+    for epoch in range(EPOCHS):
+        q = 1 if epoch < tcfg.phase_change else 2
+        idx, mask = T.batch_plan(N_BLOCKS, tcfg.batch_size, shuffle, tcfg.seed, epoch)
+        key = jax.random.fold_in(base_key, epoch)
+        params, opt_state, emb, emb_opt_state, _ = fns[q](
+            params, opt_state, emb, emb_opt_state, gt_d, dist_d,
+            idx, mask, block_valid, key, rd_w,
+        )
+
+    # the scan-wrapped epoch body may fuse differently than the standalone
+    # program, producing isolated 1-ulp differences that feed forward
+    # (measured over 5 epochs: params <=1e-9 abs / 1e-7 rel, emb <=6e-8) —
+    # allow ulp-level drift, nothing more
+    got = jax.device_get(state.params)
+    want = jax.device_get(params)
+    flat_got = jax.tree_util.tree_leaves(got)
+    flat_want = jax.tree_util.tree_leaves(want)
+    for a, b in zip(flat_got, flat_want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(state.emb)), np.asarray(jax.device_get(emb)),
+        rtol=0, atol=5e-7,
+    )
+
+
+def test_chunk_boundaries_respect_eval_and_phase():
+    """chunk_end is internal to train(); probe it via the metrics file — one
+    line per epoch must appear, in order, with the right q phase."""
+    import json
+    import tempfile
+
+    gt, dist = _toy_grids(1)
+    mcfg = ModelConfig(ch=2, chanstr="4,8,4,4")
+    tcfg = TrainConfig(batch_size=4, epochs=6, phase_change=3, eval_every=4)
+    with tempfile.NamedTemporaryFile("r", suffix=".jsonl") as f:
+        T.train(gt, dist, mcfg, tcfg, log=lambda *_: None, metrics_path=f.name)
+        lines = [json.loads(l) for l in open(f.name)]
+    assert [l["epoch"] for l in lines] == list(range(6))
+    assert [l["q"] for l in lines] == [1, 1, 1, 2, 2, 2]
