@@ -296,7 +296,8 @@ def cmd_encode(args) -> int:
         )
         params = upgrade_params_to_ctx(
             spec, params, np.asarray(emb), steps=args.ctx_fit_steps,
-            lr=args.ctx_fit_lr,
+            lr=args.ctx_fit_lr, early_stop=args.ctx_fit_early_stop,
+            backend=args.ctx_fit_backend or None,
         )
     ccfg = CodecConfig(
         thh_encode=args.thh, thh_decode=args.thh, qp=args.qp,
@@ -452,6 +453,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     e.add_argument("--ctx_fit_steps", type=int, default=3000)
     e.add_argument("--ctx_fit_lr", type=float, default=3e-2)
+    e.add_argument(
+        "--ctx_fit_early_stop", type=float, default=2e-3,
+        help="end a ctx_post fit phase when a 250-step chunk improves the "
+        "stream-bit estimate by less than this fraction (0 disables)",
+    )
+    e.add_argument(
+        "--ctx_fit_backend", type=str, default="cpu",
+        help="device platform for the ctx_post fit (any result is a valid "
+        "pack; purely a wall-clock choice)",
+    )
     e.set_defaults(fn=cmd_encode)
 
     ev = sub.add_parser("eval", help="D1 PSNR between two .ply clouds")

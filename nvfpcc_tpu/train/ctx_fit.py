@@ -53,6 +53,8 @@ def fit_ctx_predictor(
     finetune_lr: float = 2e-3,
     payload_weight: float = 1.0,
     init_entropy: Optional[dict] = None,
+    early_stop: float = 2e-3,
+    backend: Optional[str] = "cpu",
     log: Callable[[str], None] = print,
 ) -> dict:
     """Fit the spec's masked-conv predictor on frozen integer latents.
@@ -68,6 +70,13 @@ def fit_ctx_predictor(
     optimizes TOTAL pack bits; ``init_entropy`` warm-starts instead of the
     feature init (e.g. refitting a co-trained ctx checkpoint). Returns the
     fitted entropy subtree (float; codec quantizes to the 1/qp grid).
+
+    ``early_stop``: end a phase when a 250-step chunk improves the stream-bit
+    estimate by less than this relative fraction (measured: some fits converge
+    within the first chunk — the full 3000 steps were pure waste there).
+    ``backend``: device platform for the fit ("cpu" default); any result is a
+    valid pack (the fitted kernels are host-quantized and shipped), so the
+    backend is purely a wall-clock choice.
     """
     if spec.entropy_mode not in M.CTX_MODES:
         raise ValueError(f"ctx_post needs a ctx-mode spec, got {spec.entropy_mode}")
@@ -117,20 +126,36 @@ def fit_ctx_predictor(
             )
             return ep, opt_state, bits[-1]
 
-        bits = None
+        prev = None
         n_chunks = max(1, n_steps // chunk)
         for c in range(n_chunks):
             ep, opt_state, bits = run_chunk(ep, opt_state)
+            bits = float(bits)
             if c == 0 or c + 1 == n_chunks or (c + 1) % 4 == 0:
                 log(
                     f"[ctx_fit] {tag} chunk {c + 1}/{n_chunks}: "
-                    f"~{float(bits):.0f} stream bits"
+                    f"~{bits:.0f} stream bits"
                 )
+            if (
+                early_stop
+                and prev is not None
+                and bits > prev * (1.0 - early_stop)
+            ):
+                log(
+                    f"[ctx_fit] {tag} converged at chunk {c + 1}/{n_chunks} "
+                    f"(<{early_stop:.1%} improvement), stopping early"
+                )
+                break
+            prev = bits
         return ep
 
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        ep = jax.device_put(ep0, cpu)
+    dev = (
+        jax.local_devices(backend=backend)[0]
+        if backend
+        else jax.local_devices()[0]
+    )
+    with jax.default_device(dev):
+        ep = jax.device_put(ep0, dev)
         _, bits0 = objective(ep, 2)
         log(
             f"[ctx_fit] {spec.entropy_mode} hidden={spec.ctx_hidden}: start "
@@ -162,6 +187,8 @@ def upgrade_params_to_ctx(
     emb: np.ndarray,
     steps: int = 3000,
     lr: float = 3e-2,
+    early_stop: float = 2e-3,
+    backend: Optional[str] = "cpu",
     log: Callable[[str], None] = print,
 ) -> dict:
     """Return a params tree whose entropy subtree is a freshly fitted ctx
@@ -177,6 +204,8 @@ def upgrade_params_to_ctx(
         wrate=params["decoder"].get("wrate"),
         steps=steps,
         lr=lr,
+        early_stop=early_stop,
+        backend=backend,
         log=log,
     )
     out = dict(params)
