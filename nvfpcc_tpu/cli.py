@@ -459,9 +459,11 @@ def build_parser() -> argparse.ArgumentParser:
         "stream-bit estimate by less than this fraction (0 disables)",
     )
     e.add_argument(
-        "--ctx_fit_backend", type=str, default="cpu",
-        help="device platform for the ctx_post fit (any result is a valid "
-        "pack; purely a wall-clock choice)",
+        "--ctx_fit_backend", type=str, default="",
+        help="device platform for the ctx_post fit; empty = the session's "
+        "default device (any result is a valid pack; purely a wall-clock "
+        "choice — measured at vox11: TPU 156s vs cpu 500s for the whole "
+        "encode, RESULTS.md round 3)",
     )
     e.set_defaults(fn=cmd_encode)
 

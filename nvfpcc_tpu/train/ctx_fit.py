@@ -54,7 +54,7 @@ def fit_ctx_predictor(
     payload_weight: float = 1.0,
     init_entropy: Optional[dict] = None,
     early_stop: float = 2e-3,
-    backend: Optional[str] = "cpu",
+    backend: Optional[str] = None,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Fit the spec's masked-conv predictor on frozen integer latents.
@@ -74,9 +74,11 @@ def fit_ctx_predictor(
     ``early_stop``: end a phase when a 250-step chunk improves the stream-bit
     estimate by less than this relative fraction (measured: some fits converge
     within the first chunk — the full 3000 steps were pure waste there).
-    ``backend``: device platform for the fit ("cpu" default); any result is a
-    valid pack (the fitted kernels are host-quantized and shipped), so the
-    backend is purely a wall-clock choice.
+    ``backend``: device platform for the fit (default None = the session's
+    default device); any result is a valid pack (the fitted kernels are
+    host-quantized and shipped), so the backend is purely a wall-clock choice
+    — measured at vox11 l450 (RESULTS.md round 3): whole encode 156 s on the
+    TPU vs 500 s forced-cpu vs 1885 s for the un-early-stopped cpu fit.
     """
     if spec.entropy_mode not in M.CTX_MODES:
         raise ValueError(f"ctx_post needs a ctx-mode spec, got {spec.entropy_mode}")
@@ -188,7 +190,7 @@ def upgrade_params_to_ctx(
     steps: int = 3000,
     lr: float = 3e-2,
     early_stop: float = 2e-3,
-    backend: Optional[str] = "cpu",
+    backend: Optional[str] = None,
     log: Callable[[str], None] = print,
 ) -> dict:
     """Return a params tree whose entropy subtree is a freshly fitted ctx
