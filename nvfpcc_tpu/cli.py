@@ -76,6 +76,14 @@ def _apply_platform(args) -> None:
     if getattr(args, "platform", "default") == "cpu":
         import jax
 
+        # drop the accelerator platform entirely: a cpu-pinned run must not
+        # depend on the TPU tunnel being reachable (measured: with only the
+        # default DEVICE pinned, backend discovery still initializes the
+        # remote platform and a tunnel outage hangs the CLI before the first
+        # op). After backends are initialized this update is a silent no-op,
+        # so in-process callers that already touched a device keep working —
+        # the default-device pin below still routes compute to host for them.
+        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
 
 
@@ -161,6 +169,7 @@ def _model_cfg(args):
 
 
 def cmd_grids(args) -> int:
+    _apply_platform(args)
     load_or_build_artifacts(
         args.cloud, args.depth, args.level, platform=_grids_platform(args)
     )

@@ -66,14 +66,25 @@ class TestFitCtxPredictor:
         spec = _spec()
         lat = _structured_latents(n=16)
         logs = []
-        # early_stop=1.0: any chunk that fails to reach 0 bits "converges",
-        # so each phase must stop at its second chunk despite steps=1000
+        # early_stop=1.0: any chunk that fails to reach 0 bits counts as
+        # sub-threshold, so with the default patience of 2 each phase must
+        # stop at its third chunk despite steps=1500
         ctx_fit.fit_ctx_predictor(
-            spec, lat, steps=1000, finetune_steps=1000, early_stop=1.0,
+            spec, lat, steps=1500, finetune_steps=1500, early_stop=1.0,
             log=logs.append,
         )
-        converged = [m for m in logs if "converged at chunk 2" in m]
+        converged = [m for m in logs if "converged at chunk 3" in m]
         assert len(converged) == 2, logs
+
+    def test_early_stop_patience_one_is_previous_behavior(self):
+        spec = _spec()
+        lat = _structured_latents(n=16)
+        logs = []
+        ctx_fit.fit_ctx_predictor(
+            spec, lat, steps=1000, finetune_steps=0, early_stop=1.0,
+            early_stop_patience=1, log=logs.append,
+        )
+        assert any("converged at chunk 2" in m for m in logs), logs
 
     def test_payload_pricing_runs(self):
         """wrate pricing adds the transmitted-kernel cost without breaking
