@@ -169,7 +169,12 @@ def fit_ctx_predictor(
         if backend
         else jax.local_devices()[0]
     )
-    with jax.default_device(dev):
+    # f32-exact matmuls regardless of backend: the TPU's default bf16 MXU
+    # precision measurably degrades the fitted rate (vox11 l200 h16 full fit:
+    # 3.617 b/sym default-precision TPU vs 3.586 CPU, RESULTS.md round 3).
+    # The fit's convs are tiny (94k syms at vox11), so the speed cost is
+    # noise; on CPU this is a no-op.
+    with jax.default_device(dev), jax.default_matmul_precision("highest"):
         ep = jax.device_put(ep0, dev)
         _, bits0 = objective(ep, 2)
         log(
