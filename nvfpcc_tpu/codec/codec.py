@@ -40,11 +40,13 @@ from nvfpcc_tpu.coder import range_coder as RC
 from nvfpcc_tpu.config import CodecConfig, ModelConfig
 from nvfpcc_tpu.models import decoder as M
 
-# v3: range-coded weight residuals (mode="range") + context-model latent
+# v4: per-kernel-histogram weight stream (net_weight_pack mode="range_pl",
+# default — measured 2.7-3.0% under the global histogram at vox10).
+# v3 = global-histogram range weights (mode="range") + context-model latent
 # packs (latent_pack mode="ctx"). v2 = Huffman weights, channel/spatio
 # latents, octree origins. v1 = raw int16 origins. All decodable.
-PACK_FORMAT_VERSION = 3
-_DECODABLE_VERSIONS = (1, 2, 3)
+PACK_FORMAT_VERSION = 4
+_DECODABLE_VERSIONS = (1, 2, 3, 4)
 
 # One jitted reconstruct per model spec (keyed by its static identity): a
 # warm process re-traces nothing across encode/decode/serve requests

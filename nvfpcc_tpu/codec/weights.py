@@ -8,14 +8,16 @@ Capability rebuild of the reference weight-compression pipeline
   the README's "4-bit" residuals). Quantization happens on host float64 so
   the integers that enter the Huffman coder and the dequantized kernels the
   decoder rebuilds are bit-identical by construction.
-- :func:`pack_weights` Huffman-codes the integer residuals (canonical
-  codebook, ``nvfpcc_tpu.coder.huffman``) and carries the small non-quantized
-  remainder (biases, IGDN beta/gamma) as an fp32 as-is pool — the reference's
-  ``as_is_pool`` (``util_code_quantized_weights.py:150-156``). Unlike the
-  reference we ship only what reconstruction needs: the training-only aux
-  heads, the latent generator and the weight-rate model stay home
-  (the reference ships aux params and loads ``strict=False``,
-  ``NVFPCC.py:577-583``).
+- :func:`pack_weights` entropy-codes the integer residuals (default: one
+  range-coded stream under per-kernel empirical histograms, with a
+  global-histogram fallback when the tables don't pay — plus
+  reference-style canonical Huffman and trained-Gaussian modes) and
+  carries the small non-quantized remainder (biases, IGDN beta/gamma) as
+  an fp32 as-is pool — the reference's ``as_is_pool``
+  (``util_code_quantized_weights.py:150-156``). Unlike the reference we
+  ship only what reconstruction needs: the training-only aux heads, the
+  latent generator and the weight-rate model stay home (the reference
+  ships aux params and loads ``strict=False``, ``NVFPCC.py:577-583``).
 - :func:`unpack_weights` rebuilds the decode-minimal params pytree.
 """
 
@@ -62,20 +64,37 @@ def quantize_residuals(params: dict, qp: int = 16) -> dict:
     return out
 
 
-def pack_weights(params: dict, qp: int = 16, entropy: str = "range") -> dict:
+def pack_weights(params: dict, qp: int = 16, entropy: str = "auto") -> dict:
     """Entropy-pack the decode-relevant weights of a (quantized) params tree.
 
     Returns the ``net_weight_pack`` dict (reference shape:
-    ``util_code_quantized_weights.py:186-209``). ``entropy``: "range" codes
-    the residual integers with the native range coder under their empirical
-    histogram (~3% tighter than Huffman — measured 2.465 vs 2.393 b/residual
-    entropy on a trained flagship checkpoint); "huffman" keeps the
-    reference-style canonical-Huffman stream; "gaussian" codes under the
-    TRAINED scalar-Gaussian weight-rate model (the prior the RD objective
-    optimizes, reference ``GaussianLikelihoodModel``,
-    ``utils/network.py:287-305``) — table side-info is two f32 instead of a
-    histogram, at the cost of model-vs-empirical mismatch in the stream.
+    ``util_code_quantized_weights.py:186-209``). ``entropy``:
+
+    - "auto" (default, format v4): code under BOTH histogram modes below
+      and keep whichever packs smaller (coding 51k ints twice is
+      milliseconds of host work) — the pack's ``mode`` field records the
+      winner, so decode needs no policy.
+    - "range_pl": ONE range-coded stream under per-kernel empirical
+      histograms — the seven kernels' residual distributions differ enough
+      (H 1.6-3.2 b/res at vox10) that per-layer tables beat the global
+      histogram by 2.7-3.0% at vox10 and 1.4% at vox11 INCLUDING the six
+      extra tables (measured on trained checkpoints,
+      results/round3/weight_layered.json). On tiny models the table
+      overhead flips the sign, hence "auto".
+    - "range": the former global-histogram default (~3% tighter than
+      Huffman — measured 2.465 vs 2.393 b/residual entropy on a trained
+      flagship checkpoint).
+    - "huffman": the reference-style canonical-Huffman stream.
+    - "gaussian": codes under the TRAINED scalar-Gaussian weight-rate model
+      (the prior the RD objective optimizes, reference
+      ``GaussianLikelihoodModel``, ``utils/network.py:287-305``) — table
+      side-info is two f32 instead of a histogram, at the cost of
+      model-vs-empirical mismatch in the stream.
     """
+    if entropy == "auto":
+        a = pack_weights(params, qp, entropy="range_pl")
+        b = pack_weights(params, qp, entropy="range")
+        return a if weight_pack_bits(a)[0] <= weight_pack_bits(b)[0] else b
     dp = params["decoder"]
     ints = []
     for name in TRANSMITTED_KERNELS:
@@ -95,7 +114,9 @@ def pack_weights(params: dict, qp: int = 16, entropy: str = "range") -> dict:
         "element_length": int(sum(t.size for t in ints)),
     }
     flat = np.concatenate([t.reshape(-1) for t in ints])
-    if entropy == "range":
+    if entropy == "range_pl":
+        pack.update({"mode": "range_pl", **pack_int_stream_layered(ints)})
+    elif entropy == "range":
         pack.update({"mode": "range", **pack_int_stream(flat)})
     elif entropy == "gaussian":
         from nvfpcc_tpu.coder import range_coder as RC
@@ -179,6 +200,58 @@ def int_stream_bits(pack: dict) -> int:
     return 8 * len(pack["bit_stream"]) + 16 + len(np.asarray(pack["counts"])) * 24
 
 
+def pack_int_stream_layered(tensors) -> dict:
+    """Range-code a list of int tensors as ONE stream under PER-TENSOR
+    empirical histograms (one table per tensor, rows zero-padded to the
+    widest alphabet — padding symbols carry only the 1/2^20 frequency
+    floor, <0.1% rate). Returns ``{"bit_stream", "min_syms", "counts_list"}``
+    (round-trip asserted)."""
+    from nvfpcc_tpu.coder import range_coder as RC
+
+    flats = [np.asarray(t, np.int64).reshape(-1) for t in tensors]
+    mins = np.array([int(f.min()) for f in flats], np.int64)
+    counts_list = [
+        np.bincount((f - mn).astype(np.int64)).astype(np.int64)
+        for f, mn in zip(flats, mins)
+    ]
+    width = max(len(c) for c in counts_list)
+    cmat = np.zeros((len(flats), width), np.int64)
+    for i, c in enumerate(counts_list):
+        cmat[i, : len(c)] = c
+    cum = RC.build_cum_from_counts(cmat)
+    symbols = np.concatenate(
+        [(f - mn).astype(np.int32) for f, mn in zip(flats, mins)]
+    )
+    table_ids = np.concatenate(
+        [np.full(len(f), i, np.int32) for i, f in enumerate(flats)]
+    )
+    stream = RC.encode(symbols, table_ids, cum)
+    assert np.array_equal(
+        RC.decode(stream, table_ids, cum), symbols
+    ), "layered int-stream range-coding self-check"
+    return {"bit_stream": stream, "min_syms": mins, "counts_list": counts_list}
+
+
+def unpack_int_stream_layered(pack: dict, sizes) -> np.ndarray:
+    """Inverse of :func:`pack_int_stream_layered` for tensors of the given
+    flat ``sizes``: one flat int64 array (concatenated in tensor order)."""
+    from nvfpcc_tpu.coder import range_coder as RC
+
+    counts_list = [np.asarray(c, np.int64) for c in pack["counts_list"]]
+    mins = np.asarray(pack["min_syms"], np.int64)
+    width = max(len(c) for c in counts_list)
+    cmat = np.zeros((len(counts_list), width), np.int64)
+    for i, c in enumerate(counts_list):
+        cmat[i, : len(c)] = c
+    cum = RC.build_cum_from_counts(cmat)
+    table_ids = np.concatenate(
+        [np.full(int(n), i, np.int32) for i, n in enumerate(sizes)]
+    )
+    flat = RC.decode(pack["bit_stream"], table_ids, cum).astype(np.int64)
+    offsets = np.repeat(mins, np.asarray(sizes, np.int64))
+    return flat + offsets
+
+
 def _gaussian_weight_tables(
     sigma: np.float32, mu: np.float32, lo: int, hi: int, qp: int
 ) -> np.ndarray:
@@ -200,12 +273,15 @@ def _decode_weight_ints(pack: dict):
     without a mode field are format-v2 Huffman)."""
     n = int(pack["element_length"])
     mode = pack.get("mode", "huffman")
-    if mode not in ("range", "huffman", "gaussian"):
+    if mode not in ("range_pl", "range", "huffman", "gaussian"):
         raise ValueError(
             f"unsupported weight entropy mode {mode!r} — "
             "pack written by a newer format version?"
         )
-    if mode == "range":
+    if mode == "range_pl":
+        sizes = [int(np.prod(s)) for s in pack["shape_list"]]
+        flat = unpack_int_stream_layered(pack, sizes)
+    elif mode == "range":
         flat = unpack_int_stream(pack, n)
     elif mode == "gaussian":
         from nvfpcc_tpu.coder import range_coder as RC
@@ -251,7 +327,12 @@ def weight_pack_bits(pack: dict) -> Tuple[int, int]:
     fp32 pool — the reference's b_net split
     (``util_code_quantized_weights.py:150-168``)."""
     mode = pack.get("mode", "huffman")
-    if mode == "range":
+    if mode == "range_pl":
+        # per-kernel histogram tables: min_sym (16b) + 24-bit counts each
+        table_bits = sum(
+            16 + len(np.asarray(c)) * 24 for c in pack["counts_list"]
+        )
+    elif mode == "range":
         # histogram table: min_sym (16b) + one 24-bit count per symbol
         table_bits = 16 + len(np.asarray(pack["counts"])) * 24
     elif mode == "gaussian":

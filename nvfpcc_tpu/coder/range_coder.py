@@ -318,11 +318,16 @@ def decode_latents_tables(stream: bytes, shape, cum: np.ndarray) -> np.ndarray:
 
 
 def build_cum_from_counts(counts: np.ndarray, total: int = TOTAL) -> np.ndarray:
-    """One (1, n+1) cumulative table from an empirical symbol histogram
-    (used for the weight-residual stream — ~3% tighter than Huffman)."""
-    counts = np.asarray(counts, np.float64).reshape(1, -1)
-    s = counts.sum()
-    if s <= 0:
+    """(ntab, n+1) cumulative tables from empirical symbol histograms
+    (used for the weight-residual stream — ~3% tighter than Huffman).
+    Accepts one 1-D histogram or a 2-D (ntab, n) stack of equal-width rows
+    (shorter alphabets zero-padded; padding symbols get the frequency floor
+    and are never emitted)."""
+    counts = np.asarray(counts, np.float64)
+    if counts.ndim == 1:
+        counts = counts.reshape(1, -1)
+    s = counts.sum(axis=1, keepdims=True)
+    if np.any(s <= 0):
         raise ValueError("histogram is empty")
     return _integerize_pdfs(counts / s, total)
 

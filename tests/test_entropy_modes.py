@@ -127,6 +127,58 @@ def test_gaussian_weight_mode_roundtrip():
         )
 
 
+def test_layered_weight_mode_roundtrip_and_auto_picks_min():
+    """entropy='range_pl' decodes losslessly through the real decode path,
+    and the 'auto' default keeps whichever of {range_pl, range} packs
+    smaller (on this tiny model the seven per-kernel tables outweigh the
+    stream saving, so auto must fall back to the global histogram)."""
+    import jax
+
+    from nvfpcc_tpu.codec import weights as W
+
+    rng = np.random.default_rng(7)
+    spec = M.build_model_spec(ch=2, channels=(4, 8, 4, 4))
+    params = M.init_params(spec)
+    # per-layer scale spread so the per-kernel histograms actually differ
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.08 * np.asarray(rng.normal(0, 1, a.shape), a.dtype), params
+    )
+    q = W.quantize_residuals(params, 16)
+    pk_pl = W.pack_weights(q, 16, entropy="range_pl")
+    assert pk_pl["mode"] == "range_pl"
+    assert len(pk_pl["counts_list"]) == len(pk_pl["kernel_keys"])
+    rb = W.unpack_weights(pk_pl)
+    for name in M.TRANSMITTED_KERNELS:
+        assert np.array_equal(
+            np.asarray(rb["decoder"][name]["kernel"]),
+            np.asarray(q["decoder"][name]["kernel"]),
+        )
+    pk_auto = W.pack_weights(q, 16)  # default = auto
+    coded = {
+        m: W.weight_pack_bits(W.pack_weights(q, 16, entropy=m))[0]
+        for m in ("range_pl", "range")
+    }
+    assert W.weight_pack_bits(pk_auto)[0] == min(coded.values())
+    assert pk_auto["mode"] == min(coded, key=coded.get)
+
+
+def test_layered_int_stream_property():
+    """pack/unpack_int_stream_layered round-trips tensors with disjoint
+    alphabets and preserves per-tensor offsets."""
+    from nvfpcc_tpu.codec import weights as W
+
+    rng = np.random.default_rng(11)
+    tensors = [
+        rng.integers(-3, 4, size=(2, 2, 2, 3, 4)),
+        rng.integers(90, 131, size=(5, 7)),  # disjoint, offset alphabet
+        np.full((3, 3), -77, np.int64),  # degenerate single-symbol
+    ]
+    pk = W.pack_int_stream_layered(tensors)
+    flat = W.unpack_int_stream_layered(pk, [t.size for t in tensors])
+    expect = np.concatenate([np.asarray(t, np.int64).reshape(-1) for t in tensors])
+    assert np.array_equal(flat, expect)
+
+
 def test_unknown_weight_mode_rejected():
     """A pack with an unknown weight-entropy mode raises cleanly instead of
     KeyError (round-1 ADVICE item 1)."""
