@@ -34,7 +34,17 @@ def main() -> int:
     ap.add_argument("--level", type=int, default=5)
     ap.add_argument("--workdir", default="/tmp/r3qp")
     ap.add_argument("--out", default="results/round3/qp_sweep.json")
+    ap.add_argument(
+        "--platform", default=None,
+        help="pin the jax platform (e.g. cpu to stay off the tunnel); "
+        "stream bits are host-coded either way, D1/recon follow the device",
+    )
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from nvfpcc_tpu.cli import main as cli_main
     from nvfpcc_tpu.io.ply import read_ply_points
@@ -56,6 +66,7 @@ def main() -> int:
             "--level", str(args.level), "--load_checkpoint", args.ckpt,
             "--pack_fn", pack, "--recon", rc, "--thh", str(args.thh),
             "--qp", str(qp),
+            *(["--platform", args.platform] if args.platform else []),
         ])
         if status:
             raise SystemExit(f"encode qp={qp} failed with status {status}")
