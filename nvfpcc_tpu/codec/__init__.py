@@ -3,6 +3,7 @@ encode/decode subcommands) and the weight quantize/pack pipeline
 (``manipulate_weights.py`` + ``util_code_quantized_weights.py``)."""
 
 from nvfpcc_tpu.codec.codec import (  # noqa: F401
+    PACK_FORMAT_VERSION,
     EncodeResult,
     decode,
     encode,

@@ -310,7 +310,7 @@ class TestCtxCodecEndToEnd:
         res = codec.encode(
             state.params, np.asarray(state.emb), origins, mcfg, ccfg, int(gt.sum())
         )
-        assert res.pack["format_version"] == 3
+        assert res.pack["format_version"] == codec.PACK_FORMAT_VERSION
         assert res.pack["latent_pack"]["mode"] == mode
         import tempfile, os
 
