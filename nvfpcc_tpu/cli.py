@@ -202,6 +202,7 @@ def cmd_train(args) -> int:
         phase_change=args.phase_change,
         shuffle=args.shuffle,
         eval_every=args.eval_every,
+        compute_dtype=args.compute_dtype,
         seed=args.seed,
     )
     mesh = None
@@ -437,6 +438,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument(
         "--profile", type=str, default=None,
         help="write a jax profiler trace of post-compile epochs to this dir",
+    )
+    t.add_argument(
+        "--compute_dtype", choices=("f32", "bf16"), default="f32",
+        help="decoder-conv arithmetic precision during training (bf16 = "
+        "MXU-native mixed precision; master params / rate / loss stay f32)",
     )
     t.set_defaults(fn=cmd_train)
 

@@ -62,6 +62,12 @@ class TrainConfig:
     """Reproduce the reference scheduler bug (NVFPCC.py:126): both schedulers
     step the *net* optimizer, so the net lr decays twice (x0.01 per milestone)
     and the embedding lr never decays. Off by default (intended behavior)."""
+    compute_dtype: str = "f32"
+    """Decoder-conv arithmetic precision during TRAINING: "f32" (default) or
+    "bf16" (MXU-native mixed precision — master params, STE rounding, latent
+    entropy and loss math stay f32; only the 7-layer conv chain and its
+    gradients run bf16). Never part of the pack format: encode/decode always
+    run the precision the pack declares (CodecConfig.recon_dtype)."""
     seed: int = 0
 
 

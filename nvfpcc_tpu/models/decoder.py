@@ -371,6 +371,7 @@ def decoder_apply(
     q: int,
     key: Optional[jax.Array] = None,
     aux: bool = True,
+    compute_dtype=None,
 ):
     """CompDecoder forward (reference ``utils/network.py:4758-4779``).
 
@@ -381,11 +382,19 @@ def decoder_apply(
     ``conv0_cls``/``conv1_cls``/``wrate`` — the transmitted pack carries only
     what reconstruction needs (the reference instead ships its aux params in
     the fp32 as-is pool and loads ``strict=False``, ``NVFPCC.py:577-583``).
+
+    ``compute_dtype`` (training-only knob, never part of the pack format):
+    "bf16" runs the conv arithmetic at MXU-native precision while master
+    params, STE rounding and all rate/loss math stay f32 (see
+    ``ops.conv._cast3``). Activations stay in the compute dtype between
+    layers; every pre-sigmoid logit is cast back to f32 so the focal-loss
+    logs keep full precision.
     """
     if latent.ndim != 5 or latent.shape[1:] != (2, 2, 2, spec.ch):
         raise ValueError(
             f"latent must be (B, 2, 2, 2, {spec.ch}), got {latent.shape}"
         )
+    cd = compute_dtype
     dp = params["decoder"]
     if q == 1:
         keys = jax.random.split(key, 7)
@@ -394,25 +403,30 @@ def decoder_apply(
         kk = {n: None for n in TRANSMITTED_KERNELS}
 
     relu = jax.nn.relu
-    out = qc.qconv_transpose3d(spec.specs["up0"], dp["up0"], latent, q, kk["up0"])
+    # Only the mixed-precision TRAIN path casts logits back to f32. The bf16
+    # DECODE path (codec._bf16_twin_spec: bf16 params, compute_dtype unset)
+    # must keep its all-bf16 flow — its numerics are a measured, shipped
+    # behavior (pack recon_dtype, RESULTS.md bf16 decision).
+    f32 = (lambda t: t.astype(jnp.float32)) if qc.as_compute_dtype(cd) else (lambda t: t)
+    out = qc.qconv_transpose3d(spec.specs["up0"], dp["up0"], latent, q, kk["up0"], cd)
     out = gdn.igdn_apply(dp["igdn"], out)
-    out = relu(qc.qconv_transpose3d(spec.specs["conv0"], dp["conv0"], out, q, kk["conv0"]))
+    out = relu(qc.qconv_transpose3d(spec.specs["conv0"], dp["conv0"], out, q, kk["conv0"], cd))
     cls0 = (
-        jax.nn.sigmoid(qc.iconv3d(spec.specs["conv0_cls"], dp["conv0_cls"], out))
+        jax.nn.sigmoid(f32(qc.iconv3d(spec.specs["conv0_cls"], dp["conv0_cls"], out, cd)))
         if aux
         else None
     )
-    out = relu(qc.qconv_transpose3d(spec.specs["up1"], dp["up1"], out, q, kk["up1"]))
-    out = relu(qc.qconv3d(spec.specs["conv1"], dp["conv1"], out, q, kk["conv1"]))
+    out = relu(qc.qconv_transpose3d(spec.specs["up1"], dp["up1"], out, q, kk["up1"], cd))
+    out = relu(qc.qconv3d(spec.specs["conv1"], dp["conv1"], out, q, kk["conv1"], cd))
     cls1 = (
-        jax.nn.sigmoid(qc.iconv3d(spec.specs["conv1_cls"], dp["conv1_cls"], out))
+        jax.nn.sigmoid(f32(qc.iconv3d(spec.specs["conv1_cls"], dp["conv1_cls"], out, cd)))
         if aux
         else None
     )
-    out = relu(qc.qconv_transpose3d(spec.specs["up2"], dp["up2"], out, q, kk["up2"]))
-    out = relu(qc.qconv3d(spec.specs["conv2"], dp["conv2"], out, q, kk["conv2"]))
-    out = qc.qconv3d(spec.specs["conv2_cls"], dp["conv2_cls"], out, q, kk["conv2_cls"])
-    out = jax.nn.sigmoid(out)
+    out = relu(qc.qconv_transpose3d(spec.specs["up2"], dp["up2"], out, q, kk["up2"], cd))
+    out = relu(qc.qconv3d(spec.specs["conv2"], dp["conv2"], out, q, kk["conv2"], cd))
+    out = qc.qconv3d(spec.specs["conv2_cls"], dp["conv2_cls"], out, q, kk["conv2_cls"], cd)
+    out = jax.nn.sigmoid(f32(out))
 
     if not aux:
         return out, [None, None, out], jnp.zeros((len(TRANSMITTED_KERNELS),), jnp.float32)
@@ -432,12 +446,18 @@ def net_apply(
     mode: str,
     q: int,
     key: Optional[jax.Array] = None,
+    compute_dtype=None,
 ):
     """Full forward (reference ``Net.forward``, ``NVFPCC.py:41-45``).
 
     Returns ``(occupancy, cls_list, net_bits (7,), latent_bits (B,))`` with
     per-block latent rate (sum over blocks for the reference's total — kept
     per block so padded batches can be masked under jit).
+
+    ``compute_dtype``: see :func:`decoder_apply`. The latent generator,
+    entropy bottleneck and all rate math stay f32 regardless — the latents
+    and the ctx predictor are coding-path numerics (host parity contracts),
+    and the 2^3-shaped latent ops are negligible compute.
     """
     if key is not None:
         ekey, dkey = jax.random.split(key)
@@ -446,7 +466,9 @@ def net_apply(
     latent = latent_gen_apply(spec, params, emb)
     latent_rounded, bits = entropy_apply(spec, params, latent, mode, ekey, q)
     latent_bits = bits.reshape(bits.shape[0], -1).sum(axis=1)
-    out, cls_list, net_bits = decoder_apply(spec, params, latent_rounded, q, dkey)
+    out, cls_list, net_bits = decoder_apply(
+        spec, params, latent_rounded, q, dkey, compute_dtype=compute_dtype
+    )
     if spec.entropy_mode in CTX_MODES:
         # the transmitted ctx kernels' rate joins the network rate
         # (reference CtxPredLikelihoodModel.get_net_bits, utils/network.py:4460-4464)

@@ -115,14 +115,20 @@ def rd_loss(
     q: int,
     key: Optional[jax.Array],
     rd_w: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
 ):
     """The reference's full RD objective + metrics (``NVFPCC.py:160-196``).
 
     ``gt_b``/``dist_b`` are (B, 32, 32, 32, 1) channels-last.
     ``rd_w`` is the (lambda, w1, w2) array (defaults to cfg's values).
+    ``compute_dtype`` runs the decoder convs at lower precision (train-time
+    mixed precision; see ``models.decoder.decoder_apply``) — the loss and
+    rate math here stay f32 either way.
     Returns (loss, metrics dict).
     """
-    out, cls_list, net_bits, latent_bits_pb = M.net_apply(spec, params, emb_b, mode, q, key)
+    out, cls_list, net_bits, latent_bits_pb = M.net_apply(
+        spec, params, emb_b, mode, q, key, compute_dtype=compute_dtype
+    )
     if rd_w is None:
         rd_w = rd_weights(cfg)
 
@@ -186,16 +192,18 @@ def _epoch_body(spec, cfg, net_opt, emb_opt, n_total_pts, q):
     per-batch net updates, then the full-set embedding update. Shared by the
     single-epoch and chunked programs so both trace identical math."""
 
+    cd = getattr(cfg, "compute_dtype", "f32")
+
     def net_loss(params, emb_b, gt_b, dist_b, mask, key, rd_w):
         return rd_loss(
             spec, cfg, params, jax.lax.stop_gradient(emb_b), gt_b, dist_b, mask,
-            n_total_pts, "train", q, key, rd_w,
+            n_total_pts, "train", q, key, rd_w, compute_dtype=cd,
         )
 
     def emb_loss(emb, params, gt, dist, block_valid, key, rd_w):
         loss, _ = rd_loss(
             spec, cfg, jax.lax.stop_gradient(params), emb, gt, dist, block_valid,
-            n_total_pts, "train", q, key, rd_w,
+            n_total_pts, "train", q, key, rd_w, compute_dtype=cd,
         )
         return loss
 

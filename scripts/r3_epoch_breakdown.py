@@ -10,7 +10,11 @@ a lower-precision compute path could buy, WITHOUT changing the product:
   C. emb-update-only program (scan removed)           -> update ms/epoch
   D. everything cast to bf16 (params/opt/emb/grids)   -> speed bound only;
      NOT a trainable configuration (optimizer state in bf16 diverges), just
-     the ceiling for a mixed-precision design.
+     the ceiling for a mixed-precision design. (Known failure: the q-noise
+     jax.random.uniform refuses bf16 — kept for the record, best-effort.)
+  E. the SHIPPED mixed-precision path (TrainConfig.compute_dtype="bf16"):
+     f32 master params/optimizer/rate/loss, bf16 decoder-conv arithmetic
+     forward+backward -> the real product number.
 
 Timing rule (CLAUDE.md): fetch a scalar to host to synchronize — under the
 axon tunnel ``block_until_ready`` does not reliably wait.
@@ -195,6 +199,29 @@ def main() -> int:
         results["bf16_full_epoch_ms"] = None
         results["bf16_error"] = repr(exc)
         print(f"[breakdown] bf16 probe failed: {exc!r}", flush=True)
+
+    # E: the shipped mixed-precision path — same state dtypes as A (all f32),
+    # only the conv arithmetic runs bf16 (TrainConfig.compute_dtype).
+    cfg_mp = TrainConfig(batch_size=16, compute_dtype="bf16")
+    one_epoch_mp = T._epoch_body(spec, cfg_mp, net_opt, emb_opt, n_total_pts, q=2)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def prog_mp(params, opt_state, emb, emb_opt_state):
+        def body(carry, xs):
+            p, o, e, eo = carry
+            e_idx, e_mask, e_num = xs
+            key = jax.random.fold_in(base_key, e_num)
+            p, o, e, eo, _ = one_epoch_mp(p, o, e, eo, gt_d, dist_d, e_idx,
+                                          e_mask, block_valid, key, rd_w)
+            return (p, o, e, eo), e_num
+
+        carry, _ = jax.lax.scan(body, (params, opt_state, emb, emb_opt_state),
+                                (idx_d, mask_d, epoch_nums))
+        return carry
+
+    results["mixed_precision_epoch_ms"] = timed(lambda s: prog_mp(*s), fresh())
+    print(f"[breakdown] mixed precision (shipped bf16 path): "
+          f"{results['mixed_precision_epoch_ms']:.1f} ms", flush=True)
 
     results["device"] = str(jax.devices()[0])
     results["k_epochs_per_dispatch"] = k
