@@ -33,6 +33,15 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=501)
     ap.add_argument("--workdir", default="/tmp/r3multiseq")
     ap.add_argument("--out_dir", default="results/round3")
+    ap.add_argument(
+        "--entropy_mode", default="auto",
+        help="override the recipe's entropy mode (e.g. 'channel' for the "
+        "strict same-driver A/B against the auto recipe)",
+    )
+    ap.add_argument(
+        "--tag", default="auto",
+        help="artifact-name tag: writes multiseq_{tag}_{shape}.json",
+    )
     args = ap.parse_args()
 
     from nvfpcc_tpu.cli import main as cli_main
@@ -70,6 +79,7 @@ def main() -> int:
         if not os.path.exists(os.path.join(ckpts, f"{args.epochs - 1:04d}.npz")):
             stage(f"train {shape}", [
                 "train", cloud, *common,
+                "--entropy_mode", args.entropy_mode,
                 "--epochs", str(args.epochs), "--checkpoint_dir", ckpts,
             ])
         thhs = [t.strip() for t in args.thhs.split(",")]
@@ -108,7 +118,7 @@ def main() -> int:
             }
             rows.append(row)
             print("[multiseq] ROW " + json.dumps(row), flush=True)
-        out = os.path.join(args.out_dir, f"multiseq_auto_{shape}.json")
+        out = os.path.join(args.out_dir, f"multiseq_{args.tag}_{shape}.json")
         with open(out, "w") as f:
             json.dump(rows, f, indent=1)
         print(f"[multiseq] wrote {out}", flush=True)
