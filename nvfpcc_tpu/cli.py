@@ -347,6 +347,17 @@ def cmd_eval(args) -> int:
         f"[eval] D1 PSNR {m['psnr']:.4f} dB | mse(ref->rec) {m['mse_ab']:.6f} "
         f"mse(rec->ref) {m['mse_ba']:.6f} | {len(ref)} vs {len(rec)} pts"
     )
+    if args.d2:
+        from nvfpcc_tpu.metrics import d2_psnr
+
+        m2 = d2_psnr(
+            ref, rec, depth=args.depth,
+            platform="cpu" if args.platform == "cpu" else None,
+        )
+        print(
+            f"[eval] D2 PSNR {m2['psnr']:.4f} dB | p2plane mse(ref->rec) "
+            f"{m2['mse_ab']:.6f} mse(rec->ref) {m2['mse_ba']:.6f}"
+        )
     return 0
 
 
@@ -482,9 +493,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     e.set_defaults(fn=cmd_encode)
 
-    ev = sub.add_parser("eval", help="D1 PSNR between two .ply clouds")
+    ev = sub.add_parser("eval", help="D1 (and optional D2) PSNR between two .ply clouds")
     ev.add_argument("ref")
     ev.add_argument("rec")
+    ev.add_argument(
+        "--d2", action="store_true",
+        help="also report point-to-plane (D2) PSNR — windowed-PCA normals "
+        "per occupied voxel; adds ~a minute per million points",
+    )
     _add_common(ev)
     ev.set_defaults(fn=cmd_eval)
 
