@@ -28,11 +28,16 @@ def main() -> int:
     ap.add_argument("--ctx_hidden", type=int, default=8)
     ap.add_argument("--ctx_fit_steps", type=int, default=3000)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--no_d2", action="store_true",
+        help="skip the point-to-plane (D2) metric (it adds ~a minute of host "
+        "work per million points)",
+    )
     args = ap.parse_args()
 
     from nvfpcc_tpu.cli import main as cli_main
     from nvfpcc_tpu.io.ply import read_ply_points
-    from nvfpcc_tpu.metrics import d1_psnr
+    from nvfpcc_tpu.metrics import d1_psnr, d2_psnr
     from nvfpcc_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -62,8 +67,12 @@ def main() -> int:
     stats["parity"] = a.shape == b.shape and bool(np.array_equal(a, b))
     stats["n_points_rec"] = int(len(b))
     src = np.rint(read_ply_points(args.cloud)).astype(np.int64)
-    m = d1_psnr(src, np.rint(b).astype(np.int64), depth=args.depth, platform=None)
+    rec = np.rint(b).astype(np.int64)
+    m = d1_psnr(src, rec, depth=args.depth, platform=None)
     stats["d1_psnr"] = round(float(m["psnr"]), 4)
+    if not args.no_d2:
+        m2 = d2_psnr(src, rec, depth=args.depth, platform=None)
+        stats["d2_psnr"] = round(float(m2["psnr"]), 4)
     stats["pack_bytes"] = os.path.getsize(pack)
     stats["bpp"] = round(8.0 * stats["pack_bytes"] / len(src), 4)
     stats["entropy_mode"] = args.entropy_mode

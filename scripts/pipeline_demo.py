@@ -111,13 +111,16 @@ def main() -> int:
     stages["parity"] = parity
     stages["n_points_rec"] = int(len(b))
 
-    from nvfpcc_tpu.metrics import d1_psnr
+    from nvfpcc_tpu.metrics import d1_psnr, d2_psnr
 
     src = np.rint(read_ply_points(cloud)).astype(np.int64)
+    rec = np.rint(b).astype(np.int64)
     # platform=None -> ambient accelerator (the CPU default takes ~10 min of
     # single-core EDT at vox10 scale; on device it is seconds + one compile)
-    m = d1_psnr(src, np.rint(b).astype(np.int64), depth=args.depth, platform=None)
+    m = d1_psnr(src, rec, depth=args.depth, platform=None)
     stages["d1_psnr"] = round(float(m["psnr"]), 4)
+    m2 = d2_psnr(src, rec, depth=args.depth, platform=None)
+    stages["d2_psnr"] = round(float(m2["psnr"]), 4)
     stages["pack_bytes"] = os.path.getsize(pack)
     stages["bpp"] = round(8.0 * stages["pack_bytes"] / len(src), 4)
     stages["entropy_mode"] = args.entropy_mode

@@ -44,7 +44,7 @@ def main() -> int:
 
     from nvfpcc_tpu.cli import main as cli_main
     from nvfpcc_tpu.io.ply import read_ply_points, write_ply_points
-    from nvfpcc_tpu.metrics import d1_psnr
+    from nvfpcc_tpu.metrics import d1_psnr, d2_psnr
     from nvfpcc_tpu.utils.cache import enable_compilation_cache
     from scripts.synth_cloud import SHAPES
 
@@ -78,6 +78,7 @@ def main() -> int:
             train_s = stage(f"train[{arm}]", [
                 "train", cloud, *common, "--epochs", str(args.epochs),
                 "--checkpoint_dir", ckpts, "--compute_dtype", arm,
+                "--resume",  # pick up where a tunnel-interrupted run stopped
             ])
         thhs = [t.strip() for t in args.thhs.split(",")]
         pack = os.path.join(work, "pack.pk")
@@ -98,8 +99,9 @@ def main() -> int:
                 a = read_ply_points(rc_enc)
                 if not (a.shape == b.shape and np.array_equal(a, b)):
                     raise SystemExit(f"PARITY FAIL in arm {arm}")
-            m = d1_psnr(src, np.rint(b).astype(np.int64), depth=DEPTH,
-                        platform=None)
+            rec = np.rint(b).astype(np.int64)
+            m = d1_psnr(src, rec, depth=DEPTH, platform=None)
+            m2 = d2_psnr(src, rec, depth=DEPTH, platform=None)
             rows.append({
                 "thh": float(thh),
                 "bpp_gross": round(8.0 * os.path.getsize(pack) / n, 4),
@@ -107,6 +109,7 @@ def main() -> int:
                 "b_net": round(
                     8.0 * len(pk["net_weight_pack"]["bit_stream"]) / n, 4),
                 "d1_psnr": round(float(m["psnr"]), 4),
+                "d2_psnr": round(float(m2["psnr"]), 4),
                 "n_points_rec": int(len(b)),
             })
             print(f"[mpab] ROW {arm} " + json.dumps(rows[-1]), flush=True)

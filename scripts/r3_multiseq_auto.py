@@ -46,7 +46,7 @@ def main() -> int:
 
     from nvfpcc_tpu.cli import main as cli_main
     from nvfpcc_tpu.io.ply import read_ply_points, write_ply_points
-    from nvfpcc_tpu.metrics import d1_psnr
+    from nvfpcc_tpu.metrics import d1_psnr, d2_psnr
     from nvfpcc_tpu.utils.cache import enable_compilation_cache
     from scripts.synth_cloud import SHAPES
 
@@ -81,6 +81,7 @@ def main() -> int:
                 "train", cloud, *common,
                 "--entropy_mode", args.entropy_mode,
                 "--epochs", str(args.epochs), "--checkpoint_dir", ckpts,
+                "--resume",  # pick up where a tunnel-interrupted run stopped
             ])
         thhs = [t.strip() for t in args.thhs.split(",")]
         pack = os.path.join(work, "pack.pk")
@@ -102,8 +103,9 @@ def main() -> int:
                 parity = a.shape == b.shape and bool(np.array_equal(a, b))
                 if not parity:
                     raise SystemExit("PARITY FAIL")
-            m = d1_psnr(src, np.rint(b).astype(np.int64), depth=DEPTH,
-                        platform=None)
+            rec = np.rint(b).astype(np.int64)
+            m = d1_psnr(src, rec, depth=DEPTH, platform=None)
+            m2 = d2_psnr(src, rec, depth=DEPTH, platform=None)
             row = {
                 "shape": shape, "thh": float(thh),
                 "bpp_gross": round(8.0 * os.path.getsize(pack) / n, 4),
@@ -112,6 +114,7 @@ def main() -> int:
                     8.0 * len(pk["net_weight_pack"]["bit_stream"]) / n, 4
                 ),
                 "d1_psnr": round(float(m["psnr"]), 4),
+                "d2_psnr": round(float(m2["psnr"]), 4),
                 "parity": bool(parity) if i == 0 else None,
                 "n_points_rec": int(len(b)),
                 "entropy_mode": pk["model"]["entropy_mode"],

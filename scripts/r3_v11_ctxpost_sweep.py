@@ -37,7 +37,7 @@ def main() -> int:
 
     from nvfpcc_tpu.cli import main as cli_main
     from nvfpcc_tpu.io.ply import read_ply_points
-    from nvfpcc_tpu.metrics import d1_psnr
+    from nvfpcc_tpu.metrics import d1_psnr, d2_psnr
     from nvfpcc_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -63,6 +63,7 @@ def main() -> int:
             stage(f"train l{lam}", [
                 "train", CLOUD, *common, "--lambda", lam,
                 "--epochs", str(args.epochs), "--checkpoint_dir", ckpts,
+                "--resume",  # pick up where a tunnel-interrupted run stopped
             ])
         thhs = [t.strip() for t in args.thhs.split(",")]
         # one encode per lambda (the rate does not depend on thh); the other
@@ -87,8 +88,9 @@ def main() -> int:
                 parity = a.shape == b.shape and bool(np.array_equal(a, b))
                 if not parity:
                     raise SystemExit("PARITY FAIL")
-            m = d1_psnr(src, np.rint(b).astype(np.int64), depth=DEPTH,
-                        platform=None)
+            rec = np.rint(b).astype(np.int64)
+            m = d1_psnr(src, rec, depth=DEPTH, platform=None)
+            m2 = d2_psnr(src, rec, depth=DEPTH, platform=None)
             row = {
                 "lambda": float(lam), "thh": float(thh),
                 "bpp_gross": round(8.0 * os.path.getsize(pack) / n, 4),
@@ -97,6 +99,7 @@ def main() -> int:
                     8.0 * len(pk["net_weight_pack"]["bit_stream"]) / n, 4
                 ),
                 "d1_psnr": round(float(m["psnr"]), 4),
+                "d2_psnr": round(float(m2["psnr"]), 4),
                 "parity": bool(parity) if i == 0 else None,
                 "n_points_rec": int(len(b)),
                 "entropy_mode": pk["model"]["entropy_mode"],

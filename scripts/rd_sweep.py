@@ -36,13 +36,15 @@ def main() -> None:
     ap.add_argument("--out", type=str, default="rd.jsonl")
     ap.add_argument("--d1_platform", type=str, default=None,
                     help="backend for D1 EDT (default: ambient device)")
+    ap.add_argument("--no_d2", action="store_true",
+                    help="skip the point-to-plane (D2) metric")
     args = ap.parse_args()
 
     from nvfpcc_tpu import codec
     from nvfpcc_tpu.cli import load_or_build_artifacts
     from nvfpcc_tpu.config import CodecConfig, ModelConfig, TrainConfig
     from nvfpcc_tpu.io.ply import read_ply_points
-    from nvfpcc_tpu.metrics import d1_psnr
+    from nvfpcc_tpu.metrics import d1_psnr, d2_psnr
     from nvfpcc_tpu.train.loop import train
     from nvfpcc_tpu.utils.cache import enable_compilation_cache, enable_hang_diagnostics
 
@@ -79,6 +81,12 @@ def main() -> None:
             )
             m = d1_psnr(ref_pts, result.points, args.depth,
                         platform=args.d1_platform)
+            m2 = (
+                None
+                if args.no_d2
+                else d2_psnr(ref_pts, result.points, args.depth,
+                             platform=args.d1_platform)
+            )
             row = {
                 "lambda": lmbda,
                 "thh": thh,
@@ -88,6 +96,7 @@ def main() -> None:
                 "b_origins": result.stats["b_origins"],
                 "d1_psnr": m["psnr"],
                 "d1_mse": m["mse"],
+                **({} if m2 is None else {"d2_psnr": m2["psnr"]}),
                 "n_points_rec": result.stats["n_points_rec"],
                 "n_points_src": n_points,
                 "train_s": round(train_s, 1),
@@ -95,9 +104,10 @@ def main() -> None:
             rows.append(row)
             with open(args.out, "a") as f:
                 f.write(json.dumps(row) + "\n")
+            d2s = "" if m2 is None else f" D2={row['d2_psnr']:.2f}dB"
             print(
                 f"[rd] lambda={lmbda:.0f} thh={thh:.2f} bpp={row['bpp']:.4f} "
-                f"D1={row['d1_psnr']:.2f}dB pts={row['n_points_rec']}"
+                f"D1={row['d1_psnr']:.2f}dB{d2s} pts={row['n_points_rec']}"
             )
 
     print("\nlambda  thh   bpp      D1(dB)   pts")

@@ -82,3 +82,114 @@ def test_identical_clouds_infinite_d2():
     pts = _plane()
     m = d2_psnr(pts, pts, depth=6)
     assert m["mse"] == 0.0 and m["psnr"] == float("inf")
+
+
+# ---------------------------------------------------------------------------
+# full cross-validation against an independent brute-force implementation
+# ---------------------------------------------------------------------------
+
+
+def _brute_normals(pts, radius=2):
+    """Independent windowed-PCA normals: python-set membership + per-point
+    loops (vs the implementation's sorted-key searchsorted scatter). Same
+    mathematical definition (covariance = E[qq^T] - mean mean^T over the
+    occupied Chebyshev window, smallest-eigenvector normal, valid iff >= 3
+    neighbors); np.linalg.eigh itself is shared — the machinery under test
+    is the neighborhood accumulation, not LAPACK."""
+    occupied = {tuple(p) for p in pts}
+    n = len(pts)
+    nrm = np.zeros((n, 3))
+    valid = np.zeros(n, bool)
+    r = radius
+    for i, p in enumerate(pts):
+        nb = [
+            (p[0] + dz, p[1] + dy, p[2] + dx)
+            for dz in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+            for dx in range(-r, r + 1)
+            if (p[0] + dz, p[1] + dy, p[2] + dx) in occupied
+        ]
+        if len(nb) < 3:
+            continue
+        q = np.array(nb, np.float64)
+        mean = q.mean(0)
+        cov = q.T @ q / len(q) - np.outer(mean, mean)
+        _, v = np.linalg.eigh(cov)
+        nrm[i] = v[:, 0]
+        valid[i] = True
+    return nrm, valid
+
+
+def _brute_one_way_bounds(src, dst, nrm, vld):
+    """Per-src-point [lo, hi] bounds over ALL tied nearest neighbors (any
+    tied neighbor is a valid NN by the metric's documented contract), plus a
+    uniqueness mask. Each candidate value is the squared normal projection
+    at that neighbor, or the full squared error where its normal is
+    undefined."""
+    d = src[:, None, :] - dst[None, :, :]
+    sq = (d * d).sum(-1)
+    best = sq.min(1)
+    lo = np.empty(len(src))
+    hi = np.empty(len(src))
+    unique = np.empty(len(src), bool)
+    for i in range(len(src)):
+        js = np.where(sq[i] == best[i])[0]
+        vals = []
+        for j in js:
+            e = (dst[j] - src[i]).astype(np.float64)
+            if vld[j]:
+                vals.append(float(np.dot(e, nrm[j]) ** 2))
+            else:
+                vals.append(float(np.dot(e, e)))
+        lo[i], hi[i] = min(vals), max(vals)
+        unique[i] = len(js) == 1
+    return lo, hi, unique
+
+
+def _blob(rng, n_target, c, r, extra=()):
+    g = np.arange(int(2 * (c + r)))
+    zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")
+    p = np.stack([zz.ravel(), yy.ravel(), xx.ravel()], 1).astype(np.int64)
+    bump = 1.0 + 0.15 * np.sin(p[:, 0] * 0.9) * np.cos(p[:, 1] * 1.1)
+    dist = np.sqrt(((p - c) ** 2).sum(1))
+    pts = p[np.abs(dist - r * bump) < 0.6]
+    pts = pts[rng.permutation(len(pts))[:n_target]]
+    if len(extra):
+        pts = np.concatenate([pts, np.asarray(extra, np.int64)])
+    return np.unique(pts, axis=0)
+
+
+def test_d2_cross_validated_against_brute_force(rng):
+    """Full-pipeline cross-check of d2_psnr on an irregular fixture with
+    isolated points (degenerate-normal fallback) in BOTH clouds: every
+    per-point squared error must land inside the tied-NN bounds of the
+    brute-force implementation, must equal it exactly where the NN is
+    unique, and the reported mse must be the mean of the per-point values."""
+    from nvfpcc_tpu.metrics.d2 import estimate_normals as impl_normals
+    from nvfpcc_tpu.metrics.d2 import nn_vectors as impl_nn
+
+    a = _blob(rng, 260, c=16.0, r=9.0, extra=[[34, 2, 2], [2, 33, 2]])
+    b = _blob(rng, 240, c=16.5, r=9.0, extra=[[2, 2, 34]])
+
+    m = d2_psnr(a, b, depth=6)
+
+    for src, dst, key in ((a, b, "mse_ab"), (b, a, "mse_ba")):
+        nrm_i, vld_i = impl_normals(dst, 2)
+        nrm_b, vld_b = _brute_normals(dst, 2)
+        assert np.array_equal(vld_i, vld_b)
+        # same covariance -> same eigh output, up to sign
+        assert np.allclose(np.abs((nrm_i * nrm_b).sum(1))[vld_b], 1.0, atol=1e-9)
+        # at least one degenerate target must be exercised
+        assert not vld_b.all()
+
+        e, j = impl_nn(src, dst, radius=63, platform="cpu")
+        ef = e.astype(np.float64)
+        proj = np.einsum("ij,ij->i", ef, nrm_i[j])
+        sq = np.where(vld_i[j], proj * proj, np.einsum("ij,ij->i", ef, ef))
+
+        lo, hi, unique = _brute_one_way_bounds(src, dst, nrm_b, vld_b)
+        assert (sq >= lo - 1e-9).all() and (sq <= hi + 1e-9).all()
+        assert np.allclose(sq[unique], lo[unique], atol=1e-9)
+        assert unique.mean() > 0.5  # the exact check covers most points
+        # the reported mse is the mean of exactly these per-point values
+        assert np.isclose(m[key], sq.mean(), rtol=1e-12)
