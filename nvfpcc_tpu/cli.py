@@ -139,16 +139,51 @@ def resolve_auto_train(level: int) -> str:
     return "ctx"
 
 
-def resolve_auto_encode(trained_mode: str, trained_hidden: int, level: int):
+# Measured ctx_post economics (results/round3/ctx_capacity_sweep.json:
+# exhaustive post-hoc ctx_ar fits on the frozen vox11 l200 ctx-checkpoint
+# latents, 94,032 symbols, marginal 3.869 b/sym): per hidden width, the
+# expected latent-stream cut in bits/symbol and the transmitted-predictor
+# payload in bits. h64 is dominated on BOTH axes there (smaller cut than h16
+# at 2.7x the payload — the fit under-trains at that width), so the gate can
+# never pick it. Single-cloud provenance: these are vox11-sphere constants
+# used as a break-even model, not re-measured per cloud; explicit
+# --entropy_mode/--ctx_hidden flags remain authoritative overrides.
+CTX_POST_ECONOMICS = (
+    # (hidden, expected stream cut b/sym, predictor payload bits)
+    (8, 3.869 - 3.661, 8_136.0),
+    (16, 3.869 - 3.5855, 13_920.0),
+    (32, 3.869 - 3.5322, 22_912.0),
+)
+
+
+def ctx_post_break_even(n_symbols: int):
+    """(predicted net stream saving in bits, best hidden width) for a
+    post-hoc ctx_ar upgrade of an n_symbols-latent pack. The saving model is
+    ``n_symbols * cut(h) - payload(h)`` over the measured economics table;
+    a non-positive best saving means the predictor payload would cancel the
+    stream gain (the measured vox10 outcome, RESULTS.md E4)."""
+    return max(
+        (n_symbols * cut - payload, h) for h, cut, payload in CTX_POST_ECONOMICS
+    )
+
+
+def resolve_auto_encode(trained_mode: str, trained_hidden: int, n_symbols: int):
     """`--entropy_mode auto` at encode time -> (entropy_mode, ctx_hidden,
-    ctx_post). Deep scales (level >= 6: latents dominate the pack) upgrade a
-    ctx-family checkpoint with the post-hoc fitted channel-AR predictor — the
-    measured strictly-dominant vox11 point (RESULTS.md: 0.1568 bpp @ 79.97 dB
-    vs channel 0.1576 @ 79.76). At vox10-like scales the hidden-16 predictor
-    payload cancels the latent gain, so the pack keeps the checkpoint's own
-    entropy model."""
-    if trained_mode in ("ctx", "ctx_ar") and level >= 6:
-        return "ctx_ar", 16, True
+    ctx_post). A ctx-family checkpoint is upgraded with the post-hoc fitted
+    channel-AR predictor when the measured break-even model predicts a net
+    stream saving at this cloud's symbol count (:func:`ctx_post_break_even`
+    — the quantity that actually decides the trade; the round-3 ``level >=
+    6`` gate was a proxy for it and misclassified small-but-deep or
+    large-but-shallow clouds). Measured anchors: vox11 sphere (94,032
+    symbols) predicts +12.7k bits at h16 and measured strictly dominant
+    (0.1568 bpp @ 79.97 dB vs channel 0.1576 @ 79.76, RESULTS.md round 3);
+    vox10 sphere (23,136 symbols) predicts -7.4k bits and measured canceled
+    (E4). Channel-trained latents are measured conditionally unpredictable
+    (RESULTS.md round 3), so only ctx-family checkpoints upgrade."""
+    if trained_mode in ("ctx", "ctx_ar"):
+        gain, hidden = ctx_post_break_even(n_symbols)
+        if gain > 0:
+            return "ctx_ar", hidden, True
     return trained_mode, trained_hidden, False
 
 
@@ -273,20 +308,27 @@ def cmd_encode(args) -> int:
         meta = meta or {}
         trained = str(meta.get("entropy_mode", "channel"))
         trained_hidden = int(meta.get("ctx_hidden", args.ctx_hidden))
+        n_symbols = n_blocks * int(args.ch) * 8  # latent symbols this pack codes
         mode, hidden, post = resolve_auto_encode(
-            trained, trained_hidden, args.level
+            trained, trained_hidden, n_symbols
         )
         args.entropy_mode, args.ctx_hidden = mode, hidden
         if post and not args.ctx_post:
             args.ctx_post = True
+            gain, _ = ctx_post_break_even(n_symbols)
             print(
-                "[encode] entropy_mode auto -> ctx_ar + ctx_post (hidden 16): "
-                "post-hoc predictor upgrade of the ctx checkpoint — the "
-                "measured deep-scale recipe (RESULTS.md); pass an explicit "
-                "--entropy_mode to opt out"
+                f"[encode] entropy_mode auto -> ctx_ar + ctx_post (hidden "
+                f"{hidden}): predicted net stream saving {gain:.0f} bits at "
+                f"{n_symbols} symbols (measured break-even model, RESULTS.md); "
+                "pass an explicit --entropy_mode to opt out"
             )
         else:
-            print(f"[encode] entropy_mode auto -> {mode} (from checkpoint)")
+            print(
+                f"[encode] entropy_mode auto -> {mode} (from checkpoint; "
+                f"ctx_post break-even not met at {n_symbols} symbols)"
+                if trained in ("ctx", "ctx_ar")
+                else f"[encode] entropy_mode auto -> {mode} (from checkpoint)"
+            )
     mcfg = _model_cfg(args)
     if args.ctx_post:
         # post-hoc predictor fit: entropy-upgrade ANY trained checkpoint to a

@@ -72,16 +72,50 @@ class TestAutoEntropyMode:
         assert resolve_auto_train(5) == "ctx"
         assert resolve_auto_train(6) == "ctx"
 
-    def test_encode_keeps_checkpoint_mode_at_shallow_scale(self):
+    # measured anchor clouds (RESULTS.md round 3): vox10 sphere = 964 blocks
+    # * 3 ch * 8 positions; vox11 sphere = 3,918 blocks * 3 * 8
+    VOX10_SYMS = 964 * 3 * 8
+    VOX11_SYMS = 3918 * 3 * 8
+
+    def test_encode_keeps_checkpoint_mode_below_break_even(self):
         from nvfpcc_tpu.cli import resolve_auto_encode
 
-        assert resolve_auto_encode("ctx", 8, 5) == ("ctx", 8, False)
-        assert resolve_auto_encode("channel", 8, 5) == ("channel", 8, False)
+        # vox10 scale: predicted payload > stream cut (measured E4 outcome)
+        assert resolve_auto_encode("ctx", 8, self.VOX10_SYMS) == ("ctx", 8, False)
+        assert resolve_auto_encode("channel", 8, self.VOX10_SYMS) == (
+            "channel", 8, False,
+        )
 
-    def test_encode_upgrades_ctx_family_at_deep_scale(self):
+    def test_encode_upgrades_ctx_family_past_break_even(self):
         from nvfpcc_tpu.cli import resolve_auto_encode
 
-        assert resolve_auto_encode("ctx", 8, 6) == ("ctx_ar", 16, True)
-        assert resolve_auto_encode("ctx_ar", 8, 7) == ("ctx_ar", 16, True)
+        # vox11 scale: h16 is the measured-best width (capacity sweep)
+        assert resolve_auto_encode("ctx", 8, self.VOX11_SYMS) == ("ctx_ar", 16, True)
+        assert resolve_auto_encode("ctx_ar", 8, self.VOX11_SYMS) == (
+            "ctx_ar", 16, True,
+        )
         # channel-trained latents are conditionally unpredictable — no upgrade
-        assert resolve_auto_encode("channel", 8, 6) == ("channel", 8, False)
+        assert resolve_auto_encode("channel", 8, self.VOX11_SYMS) == (
+            "channel", 8, False,
+        )
+
+    def test_break_even_is_symbol_count_not_level(self):
+        """The decision quantity is the symbol count (the round-3 level>=6
+        gate misclassified small-but-deep and large-but-shallow clouds)."""
+        from nvfpcc_tpu.cli import CTX_POST_ECONOMICS, ctx_post_break_even, resolve_auto_encode
+
+        # tiny cloud: always keep the checkpoint's model
+        assert resolve_auto_encode("ctx", 8, 100) == ("ctx", 8, False)
+        # mid-scale window where the h8 payload amortizes but h16's does not
+        mode, hidden, post = resolve_auto_encode("ctx", 8, 50_000)
+        assert (mode, post) == ("ctx_ar", True) and hidden == 8
+        # very large clouds amortize the h32 payload
+        mode, hidden, post = resolve_auto_encode("ctx", 8, 500_000)
+        assert (mode, post) == ("ctx_ar", True) and hidden == 32
+        # the first upgrade edge is the cheapest width's own break-even
+        h0, cut0, payload0 = min(CTX_POST_ECONOMICS, key=lambda r: r[2] / r[1])
+        edge = payload0 / cut0
+        assert ctx_post_break_even(int(edge) - 1)[0] <= 0
+        assert ctx_post_break_even(int(edge) + 2)[0] > 0
+        gain, _ = ctx_post_break_even(0)
+        assert gain < 0  # zero symbols can never pay a payload
