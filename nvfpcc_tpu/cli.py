@@ -200,6 +200,7 @@ def _model_cfg(args):
         entropy_mode=args.entropy_mode,
         ctx_detach_pred=getattr(args, "ctx_detach_pred", False),
         ctx_hidden=getattr(args, "ctx_hidden", 8),
+        ctx_train_init=getattr(args, "ctx_train_init", "zero"),
     )
 
 
@@ -491,6 +492,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument(
         "--profile", type=str, default=None,
         help="write a jax profiler trace of post-compile epochs to this dir",
+    )
+    t.add_argument(
+        "--ctx_train_init", choices=("zero", "feature"), default="zero",
+        help="ctx modes: predictor init for co-training. zero = reference "
+        "behavior, the measured RD default; feature = working-predictor "
+        "init, measured worse for co-training (RESULTS.md E1/E3) but kept "
+        "selectable",
     )
     t.add_argument(
         "--compute_dtype", choices=("f32", "bf16"), default="f32",

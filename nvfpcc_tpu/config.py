@@ -35,6 +35,18 @@ class ModelConfig:
     PredNet, utils/network.py:4385-4388). Travels in the pack model metadata
     (model.ctx_hidden) since the decoder must rebuild the same predictor."""
 
+    ctx_train_init: str = "zero"
+    """ctx modes, training-only (never format-relevant — the pack carries
+    whatever kernels come out): predictor init for CO-TRAINING. "zero" is the
+    reference behavior and the measured RD default — its optimization
+    deadlock (the predictor learns sigma but never mu) is load-bearing: the
+    big co-trained rate cuts come from the rate gradient warping latents
+    toward predictability, and a WORKING predictor removes that pressure
+    (RESULTS.md round 3, E1/E3). "feature" starts from the pass-through
+    feature init instead (models.decoder.ctx_feature_init) — measured worse
+    for co-training, kept for the decision artifact and for experimentation;
+    it is the default for POST-HOC fits (train/ctx_fit.py), where it wins."""
+
     @property
     def channels(self) -> Tuple[int, ...]:
         return tuple(int(c) for c in self.chanstr.split(","))

@@ -354,6 +354,21 @@ class TrainDivergence(RuntimeError):
 LATENT_GUARD = 480.0
 
 
+def initial_params(spec: M.ModelSpec, model_cfg: ModelConfig) -> dict:
+    """Training start params. ``model_cfg.ctx_train_init="feature"`` swaps
+    the ctx predictor's zero init for the working pass-through feature init —
+    measured WORSE for co-training (the zero init's optimization deadlock is
+    load-bearing for the co-trained rate cuts; RESULTS.md round 3, E1/E3),
+    kept selectable for decision artifacts and experimentation."""
+    params = M.init_params(spec)
+    if (
+        spec.entropy_mode in M.CTX_MODES
+        and getattr(model_cfg, "ctx_train_init", "zero") == "feature"
+    ):
+        params["entropy"] = M.ctx_feature_init(spec)
+    return params
+
+
 def train(
     gt: np.ndarray,
     dist: np.ndarray,
@@ -404,7 +419,7 @@ def train(
         )
     )
 
-    params = M.init_params(spec)
+    params = initial_params(spec, model_cfg)
     emb = M.init_embeddings(n_padded, model_cfg.ch)
 
     steps_per_epoch = -(-n_blocks // cfg.batch_size)

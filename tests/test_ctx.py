@@ -320,3 +320,44 @@ class TestCtxCodecEndToEnd:
             pts2, info = codec.decode(codec.load_pack(p))
         assert np.array_equal(res.points, pts2)
         assert res.stats["bpp"] > 0
+
+
+class TestCtxTrainInit:
+    def test_feature_init_swaps_predictor_start(self):
+        """ctx_train_init="feature" must start training from the pass-through
+        feature init; "zero" (default / reference behavior) from zero
+        residuals (config.py ModelConfig.ctx_train_init)."""
+        from nvfpcc_tpu.models import decoder as M
+        from nvfpcc_tpu.train.loop import initial_params
+
+        mcfg = ModelConfig(ch=2, chanstr="4,8,4,4", entropy_mode="ctx_ar")
+        spec = M.build_model_spec(
+            mcfg.ch, mcfg.channels, mcfg.seed_tag, mcfg.entropy_mode
+        )
+        p_zero = initial_params(spec, mcfg)
+        assert float(np.abs(np.asarray(p_zero["entropy"]["ctx1"]["kernel"])).max()) == 0.0
+
+        mcfg_fi = ModelConfig(
+            ch=2, chanstr="4,8,4,4", entropy_mode="ctx_ar", ctx_train_init="feature"
+        )
+        p_fi = initial_params(spec, mcfg_fi)
+        want = M.ctx_feature_init(spec)
+        for n in ("ctx1", "ctx2"):
+            assert np.array_equal(
+                np.asarray(p_fi["entropy"][n]["kernel"]),
+                np.asarray(want[n]["kernel"]),
+            )
+        # non-ctx subtrees are untouched
+        assert np.array_equal(
+            np.asarray(p_fi["decoder"]["up0"]["kernel"]),
+            np.asarray(p_zero["decoder"]["up0"]["kernel"]),
+        )
+
+    def test_channel_mode_ignores_the_knob(self):
+        from nvfpcc_tpu.models import decoder as M
+        from nvfpcc_tpu.train.loop import initial_params
+
+        mcfg = ModelConfig(ch=2, chanstr="4,8,4,4", ctx_train_init="feature")
+        spec = M.build_model_spec(mcfg.ch, mcfg.channels, mcfg.seed_tag)
+        p = initial_params(spec, mcfg)
+        assert set(p["entropy"]) == {"sigma", "mu"}
