@@ -85,6 +85,16 @@ class ModelSpec:
     seed_tag: str
     entropy_mode: str = "channel"  # "channel" | "spatio" | ctx family | ...
     ctx_hidden: int = CTX_HIDDEN  # masked-conv predictor hidden width
+    ctx_tail: int = 0
+    """ctx_ar only: the last ``ctx_tail`` of the ``ctx_hidden`` units are
+    payload-cheap "tail" features — full causal ctx1 taps (they extract
+    neighborhood features like any unit) but ctx2 reads them ONLY through the
+    channel-gated center tap. This decouples predictor width from the
+    dominant payload term (ctx2's 13 spatial taps x hidden x 2ch): a tail
+    unit costs ~1/7 the coded taps of a full unit. Format-visible (masks
+    define what is transmitted): an experiment-level knob for now — the
+    capacity drivers carry it via the spec; pack-metadata plumbing lands
+    with productization if the measured economics favor a tail width."""
     ctx_detach_pred: bool = False
     """Training-only (never part of the pack format): stop the rate gradient
     at the context predictor's INPUT. With the reference semantics (False),
@@ -105,11 +115,20 @@ def build_model_spec(
     entropy_mode: str = "channel",
     ctx_detach_pred: bool = False,
     ctx_hidden: int = CTX_HIDDEN,
+    ctx_tail: int = 0,
 ) -> ModelSpec:
     """Construct layer specs mirroring the reference architecture
     (``utils/network.py:4652-4751``)."""
     key = seeds.base_key(seed_tag)
     c0, c1, c2, c3 = channels
+    if ctx_tail and entropy_mode != "ctx_ar":
+        raise ValueError(
+            "ctx_tail needs entropy_mode=ctx_ar (plain ctx keeps the "
+            "reference's strict masks, whose ctx2 has no center tap — a "
+            "center-only tail unit would be unreadable)"
+        )
+    if not 0 <= ctx_tail < max(ctx_hidden, 1):
+        raise ValueError(f"ctx_tail must be in [0, ctx_hidden), got {ctx_tail}")
 
     def k(name):
         return seeds.layer_key(key, _LAYER_SEED_IDX[name])
@@ -147,13 +166,18 @@ def build_model_spec(
             in_group=lambda g: g % ch, out_group=lambda o: o % ch,
             center_strict=False,
         )
+        if ctx_tail:
+            # tail units: keep only the (channel-gated) center ctx2 tap
+            center = m2[1, 1, 1, ctx_hidden - ctx_tail :, :].copy()
+            m2[:, :, :, ctx_hidden - ctx_tail :, :] = 0.0
+            m2[1, 1, 1, ctx_hidden - ctx_tail :, :] = center
         specs["ctx1"] = qc.make_masked_qspec(k("ctx1"), ch, ctx_hidden, 3, mask=m1)
         specs["ctx2"] = qc.make_masked_qspec(k("ctx2"), ctx_hidden, 2 * ch, 3, mask=m2)
     elif entropy_mode not in ("channel", "spatio", "gmm", "factorized"):
         raise ValueError(f"unknown entropy_mode: {entropy_mode}")
     return ModelSpec(
         ch=ch, channels=tuple(channels), specs=specs, seed_tag=seed_tag,
-        entropy_mode=entropy_mode, ctx_hidden=ctx_hidden,
+        entropy_mode=entropy_mode, ctx_hidden=ctx_hidden, ctx_tail=ctx_tail,
         ctx_detach_pred=ctx_detach_pred,
     )
 

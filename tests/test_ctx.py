@@ -361,3 +361,70 @@ class TestCtxTrainInit:
         spec = M.build_model_spec(mcfg.ch, mcfg.channels, mcfg.seed_tag)
         p = initial_params(spec, mcfg)
         assert set(p["entropy"]) == {"sigma", "mu"}
+
+
+class TestCtxTail:
+    """ctx_tail: wide predictor whose tail hidden units keep only the
+    channel-gated center ctx2 tap (payload-cheap width — see
+    ModelSpec.ctx_tail)."""
+
+    def _specs(self):
+        full = M.build_model_spec(
+            ch=3, channels=(4, 8, 4, 4), entropy_mode="ctx_ar", ctx_hidden=8
+        )
+        tail = M.build_model_spec(
+            ch=3, channels=(4, 8, 4, 4), entropy_mode="ctx_ar",
+            ctx_hidden=8, ctx_tail=4,
+        )
+        return full, tail
+
+    def test_tail_masks_and_payload_shrink(self):
+        full, tail = self._specs()
+        s2f, s2t = full.specs["ctx2"], tail.specs["ctx2"]
+        m2f = np.broadcast_to(s2f.mask, s2f.kernel_shape)
+        m2t = np.broadcast_to(s2t.mask, s2t.kernel_shape)
+        # tail input units: only the center tap survives, with the same
+        # channel gating the full spec has there
+        t = m2t[:, :, :, 4:, :].copy()
+        assert np.array_equal(t[1, 1, 1], m2f[1, 1, 1, 4:, :])
+        t[1, 1, 1] = 0
+        assert t.sum() == 0
+        # non-tail units and ctx1 are untouched
+        assert np.array_equal(m2t[:, :, :, :4, :], m2f[:, :, :, :4, :])
+        assert np.array_equal(
+            np.asarray(tail.specs["ctx1"].mask), np.asarray(full.specs["ctx1"].mask)
+        )
+        # the transmitted tap count shrinks accordingly
+        assert len(s2t.mask_flat_indices) < len(s2f.mask_flat_indices)
+
+    def test_tail_roundtrip_and_causality(self):
+        _, spec = self._specs()
+        params = random_ctx_params(spec, seed=3)
+        # per-channel causality still holds with tail units in play
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(0, 3, (4, 2, 2, 2, 3)).round(), jnp.float32)
+        mu0, s0 = M.ctx_pred_apply(spec, params, x, q=2)
+        for i, (z, y, w) in enumerate(RASTER):
+            for c in range(3):
+                x2 = np.asarray(x).copy()
+                x2[:, z, y, w, c:] = 777.0
+                for zz, yy, ww in RASTER[i + 1 :]:
+                    x2[:, zz, yy, ww, :] = 777.0
+                mu2, s2 = M.ctx_pred_apply(spec, params, jnp.asarray(x2), q=2)
+                assert np.allclose(mu0[:, z, y, w, c], mu2[:, z, y, w, c]), (i, c)
+                assert np.allclose(s0[:, z, y, w, c], s2[:, z, y, w, c]), (i, c)
+        # exact host coder round-trip through the tail masks
+        qparams = W.quantize_residuals(params, 16)
+        payload = CTX.build_ctx_payload(spec, qparams["entropy"])
+        ints = CTX.ctx_ints_from_payload(spec, payload)
+        lat = rng.integers(-50, 51, (40, 2, 2, 2, 3)).astype(np.int64)
+        enc = CTX.encode_latents_ctx(lat, ints, channel_ar=True)
+        dec = CTX.decode_latents_ctx(enc["stream"], enc["shape"], ints, channel_ar=True)
+        assert np.array_equal(dec, enc["coded"])
+        assert np.array_equal(dec, lat) or enc["n_clamped"] > 0
+
+    def test_tail_validation(self):
+        with pytest.raises(ValueError):
+            M.build_model_spec(entropy_mode="ctx", ctx_hidden=8, ctx_tail=4)
+        with pytest.raises(ValueError):
+            M.build_model_spec(entropy_mode="ctx_ar", ctx_hidden=8, ctx_tail=8)
