@@ -111,9 +111,10 @@ def _add_model(p: argparse.ArgumentParser) -> None:
         "ctx plus same-position channel autoregression (ctx_ar); per-channel "
         "2-component Gaussian mixture (gmm); per-channel factorized "
         "logit-CDF MLP (factorized). 'auto' (default) picks the measured "
-        "best (RESULTS.md): train chooses ctx; encode reads the mode from "
-        "the checkpoint metadata, upgrading ctx checkpoints at deep scales "
-        "(level >= 6) with the post-hoc ctx_ar predictor fit (ctx_post)",
+        "best (RESULTS.md): train chooses per the measured decision table; "
+        "encode reads the mode from the checkpoint metadata, upgrading ctx "
+        "checkpoints with the post-hoc ctx_ar predictor fit (ctx_post) when "
+        "the measured symbol-count break-even predicts a net stream saving",
     )
     p.add_argument(
         "--ctx_detach_pred", action="store_true",
@@ -125,6 +126,14 @@ def _add_model(p: argparse.ArgumentParser) -> None:
         "--ctx_hidden", type=int, default=8,
         help="ctx modes: masked-conv predictor hidden width (8 = reference "
         "PredNet; travels in the pack model metadata)",
+    )
+    p.add_argument(
+        "--ctx_tail", type=int, default=None,
+        help="ctx_ar only: how many of the ctx_hidden units are payload-cheap "
+        "tail units (full ctx1 receptive field, center-only ctx2 taps — "
+        "~1/7 the transmitted taps per unit; travels in the pack model "
+        "metadata). Default: the checkpoint's trained value at encode, 0 at "
+        "train (every unit full-width)",
     )
 
 
@@ -200,6 +209,7 @@ def _model_cfg(args):
         entropy_mode=args.entropy_mode,
         ctx_detach_pred=getattr(args, "ctx_detach_pred", False),
         ctx_hidden=getattr(args, "ctx_hidden", 8),
+        ctx_tail=getattr(args, "ctx_tail", None) or 0,
         ctx_train_init=getattr(args, "ctx_train_init", "zero"),
     )
 
@@ -303,6 +313,12 @@ def cmd_encode(args) -> int:
                 f"--{flag} {given_v} contradicts the checkpoint (trained with "
                 f"--{flag} {trained_v}); drop the flag to use the trained value"
             )
+    if args.ctx_tail is None:
+        # a co-trained tail split is part of the trained predictor: encoding
+        # with different masks would silently drop transmitted taps the
+        # training relied on. ctx_post refits from scratch, so an explicit
+        # flag (or the auto economics) may still choose a different split.
+        args.ctx_tail = int((meta or {}).get("ctx_tail", 0))
     if args.entropy_mode == "auto":
         # the checkpoint knows what entropy model it was trained with;
         # old checkpoints without metadata are channel-era
@@ -346,6 +362,7 @@ def cmd_encode(args) -> int:
         spec = Mdl.build_model_spec(
             mcfg.ch, mcfg.channels, mcfg.seed_tag, mcfg.entropy_mode,
             ctx_hidden=mcfg.ctx_hidden,
+            ctx_tail=getattr(mcfg, "ctx_tail", 0),
         )
         params = upgrade_params_to_ctx(
             spec, params, np.asarray(emb), steps=args.ctx_fit_steps,

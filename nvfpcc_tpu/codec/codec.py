@@ -70,7 +70,10 @@ def _jit_cache_get(key, build):
 
 
 def _spec_key(spec: M.ModelSpec):
-    return (spec.ch, spec.channels, spec.seed_tag, spec.entropy_mode, spec.ctx_hidden)
+    return (
+        spec.ch, spec.channels, spec.seed_tag, spec.entropy_mode,
+        spec.ctx_hidden, getattr(spec, "ctx_tail", 0),
+    )
 
 
 def _bf16_twin_spec(spec: M.ModelSpec) -> M.ModelSpec:
@@ -278,6 +281,7 @@ def encode(
             model_cfg.ch, model_cfg.channels, model_cfg.seed_tag,
             model_cfg.entropy_mode,
             ctx_hidden=getattr(model_cfg, "ctx_hidden", M.CTX_HIDDEN),
+            ctx_tail=getattr(model_cfg, "ctx_tail", 0),
         )
 
     # [WEIGHTS] quantize to the 1/qp grid, entropy-pack (NVFPCC.py:409-410)
@@ -365,6 +369,13 @@ def encode(
                 if spec.entropy_mode in M.CTX_MODES
                 else {}
             ),
+            # tail-unit split changes the transmitted ctx2 taps (absent = 0,
+            # so packs predating ctx_tail decode unchanged)
+            **(
+                {"ctx_tail": int(spec.ctx_tail)}
+                if spec.entropy_mode in M.CTX_MODES and spec.ctx_tail
+                else {}
+            ),
         },
         "codec": {
             # the decode threshold; the encoder reconstructs at the same value
@@ -436,10 +447,12 @@ def decode(pack: dict) -> Tuple[np.ndarray, dict]:
         ch=int(mc["ch"]), chanstr=mc["chanstr"], seed_tag=mc["seed_tag"],
         entropy_mode=mc.get("entropy_mode", "channel"),
         ctx_hidden=int(mc.get("ctx_hidden", M.CTX_HIDDEN)),
+        ctx_tail=int(mc.get("ctx_tail", 0)),
     )
     spec = M.build_model_spec(
         model_cfg.ch, model_cfg.channels, model_cfg.seed_tag,
         model_cfg.entropy_mode, ctx_hidden=model_cfg.ctx_hidden,
+        ctx_tail=model_cfg.ctx_tail,
     )
 
     params = W.unpack_weights(pack["net_weight_pack"])

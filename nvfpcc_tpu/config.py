@@ -35,6 +35,14 @@ class ModelConfig:
     PredNet, utils/network.py:4385-4388). Travels in the pack model metadata
     (model.ctx_hidden) since the decoder must rebuild the same predictor."""
 
+    ctx_tail: int = 0
+    """ctx_ar only: the last ``ctx_tail`` of the ``ctx_hidden`` predictor
+    units are payload-cheap tail units — full causal ctx1 taps, but readable
+    by ctx2 only through the channel-gated center tap (~1/7 the transmitted
+    taps per unit; see models.decoder.ModelSpec.ctx_tail). Format-visible:
+    travels in the pack model metadata (absent = 0 keeps older packs
+    decodable) and in checkpoint metadata."""
+
     ctx_train_init: str = "zero"
     """ctx modes, training-only (never format-relevant — the pack carries
     whatever kernels come out): predictor init for CO-TRAINING. "zero" is the

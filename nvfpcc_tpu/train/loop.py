@@ -400,6 +400,7 @@ def train(
         model_cfg.ch, model_cfg.channels, model_cfg.seed_tag,
         model_cfg.entropy_mode, getattr(model_cfg, "ctx_detach_pred", False),
         getattr(model_cfg, "ctx_hidden", M.CTX_HIDDEN),
+        ctx_tail=getattr(model_cfg, "ctx_tail", 0),
     )
 
     # With a mesh, pad the block axis to a multiple of the mesh size (GSPMD
@@ -577,6 +578,7 @@ def train(
                             "seed_tag": model_cfg.seed_tag,
                             "entropy_mode": model_cfg.entropy_mode,
                             "ctx_hidden": getattr(model_cfg, "ctx_hidden", 8),
+                            "ctx_tail": getattr(model_cfg, "ctx_tail", 0),
                         },
                     )
                     ckpt_util.save_train_state(checkpoint_dir, epoch, save_state)

@@ -321,6 +321,43 @@ class TestCtxCodecEndToEnd:
         assert np.array_equal(res.points, pts2)
         assert res.stats["bpp"] > 0
 
+    def test_ctx_tail_pack_roundtrip(self):
+        """A ctx_tail split must travel in the pack metadata and decode to
+        the identical reconstruction (the tail masks change which ctx2 taps
+        are transmitted, so a decoder that lost the split would desync)."""
+        from nvfpcc_tpu.grids.builder import build_artifacts
+        from nvfpcc_tpu.train.loop import train
+        from tests.test_codec import toy_cloud
+
+        pts = toy_cloud(n=900, size=128, seed=3)
+        origins, gt, dist = build_artifacts(pts, depth=7, level=2)
+        mcfg = ModelConfig(
+            ch=2, chanstr="4,8,4,4", entropy_mode="ctx_ar",
+            ctx_hidden=8, ctx_tail=4,
+        )
+        tcfg = TrainConfig(epochs=4, phase_change=2, batch_size=4, eval_every=100)
+        spec, state = train(gt, dist, mcfg, tcfg, log=lambda *_: None)
+        assert spec.ctx_tail == 4
+        ccfg = CodecConfig(depth=7, level=2)
+        res = codec.encode(
+            state.params, np.asarray(state.emb), origins, mcfg, ccfg, int(gt.sum())
+        )
+        assert res.pack["model"]["ctx_tail"] == 4
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "pack.pk")
+            codec.save_pack(p, res.pack)
+            pts2, info = codec.decode(codec.load_pack(p))
+        assert np.array_equal(res.points, pts2)
+        # fewer transmitted ctx2 taps than the full-width spec
+        full = M.build_model_spec(
+            ch=2, channels=(4, 8, 4, 4), entropy_mode="ctx_ar", ctx_hidden=8
+        )
+        assert len(spec.specs["ctx2"].mask_flat_indices) < len(
+            full.specs["ctx2"].mask_flat_indices
+        )
+
 
 class TestCtxTrainInit:
     def test_feature_init_swaps_predictor_start(self):
