@@ -137,15 +137,25 @@ def _add_model(p: argparse.ArgumentParser) -> None:
     )
 
 
-def resolve_auto_train(level: int) -> str:
-    """`--entropy_mode auto` at train time: co-trained ctx strictly dominates
-    the channel design at vox10-like scales, and at deeper scales (vox11,
-    where latents dominate the pack) the plain-ctx checkpoint is the input
-    the measured-dominant encode recipe (ctx_post) needs — channel-trained
-    latents are conditionally unpredictable so they cannot be upgraded
-    (RESULTS.md round-3 measurements)."""
-    del level  # measured guidance is scale-independent: train ctx everywhere
-    return "ctx"
+def resolve_auto_train(level: int, n_symbols: int) -> str:
+    """`--entropy_mode auto` at train time. The round-4 same-driver A/B
+    (RESULTS.md round 4: one fresh 501-epoch channel train per shape through
+    ``scripts/r3_multiseq_auto.py``, same clouds/thresholds as the ctx arms)
+    measured channel dominating the co-trained ctx recipe on ALL THREE vox10
+    shapes (sphere: -4.3% rate AND +0.42 dB; torus: -14.7% AND +0.34 dB;
+    helix: channel@0.70 beats ctx@0.65 on both axes) — the round-2
+    single-shape ctx dominance did not replicate, so channel is the default.
+    ctx is trained only where the encode recipe needs a ctx-family
+    checkpoint: at level >= 6 (vox11-like scales, where latents dominate the
+    pack and ctx -> ctx_post is the measured strictly-dominant recipe) AND
+    when the same break-even economics the encode gate uses predict the
+    ctx_post upgrade pays its predictor payload at this cloud's symbol count
+    (:func:`ctx_post_break_even`). Channel-trained latents are measured
+    conditionally unpredictable (RESULTS.md round 3), so this choice cannot
+    be deferred to encode time."""
+    if level >= 6 and ctx_post_break_even(n_symbols)[0] > 0:
+        return "ctx"
+    return "channel"
 
 
 # Measured ctx_post economics (results/round3/ctx_capacity_sweep.json:
@@ -226,17 +236,20 @@ def cmd_train(args) -> int:
     from nvfpcc_tpu.config import TrainConfig
     from nvfpcc_tpu.train.loop import train
 
-    if args.entropy_mode == "auto":
-        args.entropy_mode = resolve_auto_train(args.level)
-        print(
-            f"[train] entropy_mode auto -> {args.entropy_mode} (measured "
-            "dominant at vox10; at deeper scales encode upgrades it with "
-            "ctx_post — RESULTS.md)"
-        )
     _apply_platform(args)
     art = load_or_build_artifacts(
         args.cloud, args.depth, args.level, platform=_grids_platform(args)
     )
+    if args.entropy_mode == "auto":
+        ch = args.ch if args.ch is not None else _DEFAULT_CH
+        n_symbols = len(art["origins"]) * ch * 8
+        args.entropy_mode = resolve_auto_train(args.level, n_symbols)
+        print(
+            f"[train] entropy_mode auto -> {args.entropy_mode} (round-4 "
+            "decision table: channel dominates the co-trained ctx recipe at "
+            "vox10 on all measured shapes; ctx only where the ctx_post "
+            "upgrade pays at this symbol count — RESULTS.md)"
+        )
     cfg = TrainConfig(
         lmbda=args.lmbda,
         w1=args.w1,

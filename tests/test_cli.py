@@ -66,16 +66,25 @@ class TestAutoEntropyMode:
     """`--entropy_mode auto` resolution — the defaults must match the
     measured guidance published in RESULTS.md."""
 
-    def test_train_resolves_to_ctx_everywhere(self):
+    # measured anchor clouds: vox10 sphere (round-4 driver) = 1,314 blocks
+    # * 3 ch * 8 positions; vox11 sphere = 3,918 blocks * 3 * 8
+    VOX10_SYMS = 1314 * 3 * 8
+    VOX11_SYMS = 3918 * 3 * 8
+
+    def test_train_resolves_by_level_and_break_even(self):
+        """Round-4 decision table (RESULTS.md): channel wins at vox10 on all
+        three shapes; ctx only where the ctx_post upgrade is the measured
+        winner (level >= 6 AND the upgrade pays its payload)."""
         from nvfpcc_tpu.cli import resolve_auto_train
 
-        assert resolve_auto_train(5) == "ctx"
-        assert resolve_auto_train(6) == "ctx"
-
-    # measured anchor clouds (RESULTS.md round 3): vox10 sphere = 964 blocks
-    # * 3 ch * 8 positions; vox11 sphere = 3,918 blocks * 3 * 8
-    VOX10_SYMS = 964 * 3 * 8
-    VOX11_SYMS = 3918 * 3 * 8
+        # vox10 scale: channel everywhere, even above the symbol edge (torus)
+        assert resolve_auto_train(5, self.VOX10_SYMS) == "channel"
+        assert resolve_auto_train(5, 1825 * 3 * 8) == "channel"  # torus
+        # vox11 sphere: the dominant ctx -> ctx_post recipe
+        assert resolve_auto_train(6, self.VOX11_SYMS) == "ctx"
+        assert resolve_auto_train(7, self.VOX11_SYMS) == "ctx"
+        # small-but-deep: the upgrade could never pay its payload
+        assert resolve_auto_train(6, 2000) == "channel"
 
     def test_encode_keeps_checkpoint_mode_below_break_even(self):
         from nvfpcc_tpu.cli import resolve_auto_encode
