@@ -36,6 +36,8 @@ DEPTH, LEVEL = 10, 5
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--arms", default="f32,bf16")
+    ap.add_argument("--shape", default="sphere", help="synth_cloud shape "
+                    "(round-4 extension: validate the dtype A/B off-sphere)")
     ap.add_argument("--thhs", default="0.60,0.65,0.70")
     ap.add_argument("--epochs", type=int, default=501)
     ap.add_argument("--workdir", default="/tmp/r3mpab")
@@ -49,11 +51,11 @@ def main() -> int:
     from scripts.synth_cloud import SHAPES
 
     enable_compilation_cache()
-    cloud = "/tmp/sphere_vox10.ply"
+    cloud = f"/tmp/{args.shape}_vox10.ply"
     if not os.path.exists(cloud):
-        pts = SHAPES["sphere"](DEPTH)
+        pts = SHAPES[args.shape](DEPTH)
         write_ply_points(cloud, pts)
-        print(f"[mpab] sphere: {len(pts)} pts", flush=True)
+        print(f"[mpab] {args.shape}: {len(pts)} pts", flush=True)
     src = np.rint(read_ply_points(cloud)).astype(np.int64)
     n = len(src)
     common = ["--depth", str(DEPTH), "--level", str(LEVEL)]
