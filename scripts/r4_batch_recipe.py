@@ -35,13 +35,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEPTH, LEVEL = 10, 5
 
-# tag -> (batch, lr, wemb, epochs); lr*wemb == 5e-3 everywhere (see docstring)
+# tag -> (batch, lr, wemb, epochs, lambda); lr*wemb == 5e-3 everywhere
+# (see docstring). lambda defaults to the recipe's 200; the *_l arms rescale
+# it so the arm LANDS AT THE ANCHOR'S RATE — the fixed-lambda arms came back
+# at +6..14% bpp (large-batch training shifts the RD operating point), so the
+# equal-rate D1 comparison needs a lambda that cancels the shift
+# (local slope from round-2 fs_ctx vs fs_ctx300: ~ -8.5% rate per +50% lambda).
 ARMS = {
-    "b16": (16, 1e-3, 5.0, 501),  # the reference-faithful anchor
-    "b32_sqrt": (32, 1.414e-3, 3.536, 501),
-    "b32_lin": (32, 2e-3, 2.5, 501),
-    "b64_sqrt": (64, 2e-3, 2.5, 501),
-    "b64_lin": (64, 4e-3, 1.25, 501),
+    "b16": (16, 1e-3, 5.0, 501, 200),  # the reference-faithful anchor
+    "b32_sqrt": (32, 1.414e-3, 3.536, 501, 200),
+    "b32_lin": (32, 2e-3, 2.5, 501, 200),
+    "b64_sqrt": (64, 2e-3, 2.5, 501, 200),
+    "b64_lin": (64, 4e-3, 1.25, 501, 200),
+    "b32_sqrt_l265": (32, 1.414e-3, 3.536, 501, 265),
 }
 
 
@@ -132,11 +138,19 @@ def main() -> int:
 
     art = load_or_build_artifacts(cloud, DEPTH, LEVEL, platform="device")
 
-    results = {}
     out_partial = args.out + ".partial"
+    results = {}
+    # resume across invocations: prior arms live in the partial (interrupted
+    # run) or in the finished output (follow-up arms added later)
+    for prior in (args.out, out_partial):
+        if os.path.exists(prior):
+            with open(prior) as f:
+                results.update(json.load(f))
+    if results:
+        print(f"[batch] preloaded arms: {sorted(results)}", flush=True)
     for tag in args.arms.split(","):
         tag = tag.strip()
-        B, lr, wemb, epochs = ARMS[tag]
+        B, lr, wemb, epochs, lam = ARMS[tag]
         work = os.path.join(args.workdir, tag)
         ckpts = os.path.join(work, "ckpts")
         os.makedirs(work, exist_ok=True)
@@ -145,6 +159,7 @@ def main() -> int:
             train_s = stage(f"train[{tag}]", [
                 "train", cloud, *common, "--epochs", str(epochs),
                 "--batchsize", str(B), "--lr", str(lr), "--wemb", str(wemb),
+                "--lambda", str(lam),
                 "--entropy_mode", args.entropy_mode,
                 "--checkpoint_dir", ckpts, "--resume",
             ])
@@ -185,7 +200,7 @@ def main() -> int:
             print(f"[batch] ROW {tag} " + json.dumps(rows[-1]), flush=True)
         results[tag] = {
             "batch": B, "lr": lr, "wemb": wemb, "epochs": epochs,
-            "emb_lr": lr * wemb,
+            "lambda": lam, "emb_lr": lr * wemb,
             "train_s_total": None if train_s is None else round(train_s, 1),
             "epoch_ms_steady": round(epoch_ms, 1),
             "parity": True,
