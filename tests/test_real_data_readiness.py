@@ -14,8 +14,15 @@ import os
 import shutil
 
 import numpy as np
+import pytest
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "ref_style_vox10.ply")
+# v2 (tests/fixtures/make_fixture_v2.py): open creased sheet with a ~20x
+# sampling-density gradient plus a one-voxel filament — non-sphere,
+# variable-density geometry through the same defaults.
+FIXTURE_V2 = os.path.join(
+    os.path.dirname(__file__), "fixtures", "ref_style_vox10_v2.ply"
+)
 
 
 def test_fixture_parses_with_colors():
@@ -28,12 +35,30 @@ def test_fixture_parses_with_colors():
     assert pts.min() >= 0 and pts.max() < 1024
 
 
-def test_fixture_full_pipeline(tmp_path):
+def test_fixture_v2_is_unfriendly_geometry():
+    """v2 must actually stress what v1 doesn't: open surface, uneven density."""
+    from nvfpcc_tpu.io.ply import read_ply_points
+
+    pts = np.rint(read_ply_points(FIXTURE_V2)).astype(np.int64)
+    assert pts.min() >= 0 and pts.max() < 1024
+    _, counts = np.unique(pts >> 5, axis=0, return_counts=True)
+    assert len(counts) >= 30, "v2 should span many more blocks than v1's 8"
+    assert counts.min() <= 5, "filament/sparse end must yield near-empty blocks"
+    assert counts.max() / counts.min() >= 50, "density gradient must be large"
+
+
+# v2's open, undersampled surface is much harder for the 8-epoch toy train:
+# predicted occupancy stays low everywhere, so its non-degeneracy gate uses a
+# lenient decode threshold (thh is a free encode knob, not trained state).
+@pytest.mark.parametrize(
+    "fixture,thh", [(FIXTURE, "0.4"), (FIXTURE_V2, "0.05")], ids=["v1", "v2"]
+)
+def test_fixture_full_pipeline(tmp_path, fixture, thh):
     from nvfpcc_tpu.cli import main as cli_main
     from nvfpcc_tpu.io.ply import read_ply_points
 
     cloud = str(tmp_path / "ref_style_vox10.ply")
-    shutil.copy(FIXTURE, cloud)
+    shutil.copy(fixture, cloud)
     ckpt = str(tmp_path / "ckpts")
     pack = str(tmp_path / "pack.pk")
     rc_enc = str(tmp_path / "rc_enc.ply")
@@ -52,7 +77,7 @@ def test_fixture_full_pipeline(tmp_path):
     assert (
         cli_main(
             ["encode", cloud, *common, *small, "--load_checkpoint", ckpt,
-             "--pack_fn", pack, "--recon", rc_enc, "--thh", "0.4"]
+             "--pack_fn", pack, "--recon", rc_enc, "--thh", thh]
         )
         == 0
     )
@@ -60,5 +85,5 @@ def test_fixture_full_pipeline(tmp_path):
 
     a, b = read_ply_points(rc_enc), read_ply_points(rc_dec)
     assert a.shape == b.shape and np.array_equal(a, b), "rc_enc != rc_dec"
-    assert len(a) > 0, "empty reconstruction (8-epoch toy train should clear thh 0.4)"
+    assert len(a) > 0, "empty reconstruction (toy train should clear the lenient thh)"
     assert cli_main(["eval", cloud, rc_dec, "--platform", "cpu"]) == 0
