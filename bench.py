@@ -60,6 +60,13 @@ def main() -> None:
     from nvfpcc_tpu.config import ModelConfig, TrainConfig
     from nvfpcc_tpu.models import decoder as M
     from nvfpcc_tpu.train import loop as T
+    from nvfpcc_tpu.utils.cache import enable_compilation_cache
+
+    # Weather-proofing (round-4 verdict item 1): every bench invocation used
+    # to pay fresh XLA compiles through the axon tunnel; with the persistent
+    # cache a mid-round warm run makes the driver's end-of-round capture hit
+    # warm disk cache and print in seconds even under tunnel weather.
+    enable_compilation_cache()
 
     gt, dist = synthetic_flagship_grids()
     mcfg = ModelConfig()  # ch=3, chanstr 8,16,8,8 (flagship)

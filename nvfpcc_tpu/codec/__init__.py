@@ -6,7 +6,9 @@ from nvfpcc_tpu.codec.codec import (  # noqa: F401
     PACK_FORMAT_VERSION,
     EncodeResult,
     decode,
+    decode_origins,
     encode,
+    encode_origins,
     extract_points,
     load_pack,
     reconstruct_all,

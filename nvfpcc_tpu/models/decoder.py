@@ -92,9 +92,10 @@ class ModelSpec:
     channel-gated center tap. This decouples predictor width from the
     dominant payload term (ctx2's 13 spatial taps x hidden x 2ch): a tail
     unit costs ~1/7 the coded taps of a full unit. Format-visible (masks
-    define what is transmitted): an experiment-level knob for now — the
-    capacity drivers carry it via the spec; pack-metadata plumbing lands
-    with productization if the measured economics favor a tail width."""
+    define what is transmitted): travels in the pack model metadata
+    (``codec.codec.encode`` writes ``model.ctx_tail`` when nonzero; absent
+    = 0 keeps older packs decodable), in checkpoint metadata, and on the
+    CLI (``--ctx_tail``). See docs/FORMAT.md §Context model."""
     ctx_detach_pred: bool = False
     """Training-only (never part of the pack format): stop the rate gradient
     at the context predictor's INPUT. With the reference semantics (False),

@@ -36,7 +36,11 @@ def enable_compilation_cache(directory: str | None = None) -> None:
 
     try:
         jax.config.update("jax_compilation_cache_dir", directory or _DEFAULT_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERYTHING: on the starved single CPU core even "small"
+        # compiles average >1.5 s, and a driver capture runs dozens of them
+        # (measured: 52 sub-threshold compiles = 86 s of the round-4 dryrun
+        # timeout). Disk is cheap; the default 1.0 s floor is not.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without these flags: cache is an optimization only

@@ -53,6 +53,13 @@ def main() -> int:
     ap.add_argument("--backend", default="", help="fit device ('' = session default)")
     ap.add_argument("--n_points", type=int, default=3_499_652,
                     help="bpp denominator (default: the vox11 sphere)")
+    ap.add_argument(
+        "--with_baselines", action="store_true",
+        help="also measure the no-upgrade alternatives: 'marginal' (a "
+        "moment-fitted per-channel Gaussian pack) and 'ckpt' (the "
+        "checkpoint's own co-trained predictor, no fit) — the rates the "
+        "CTX_POST_ECONOMICS gate compares candidates against",
+    )
     ap.add_argument("--out", default="results/round4/ctx_capacity2.json")
     args = ap.parse_args()
 
@@ -85,6 +92,54 @@ def main() -> int:
 
     results = {}
     out_partial = args.out + ".partial"
+
+    def emit(name, row):
+        results[name] = row
+        print(f"[cap2] {name}: " + json.dumps(row), flush=True)
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(out_partial, "w") as f:
+            json.dump(results, f, indent=1)
+
+    if args.with_baselines:
+        # "marginal": the per-channel Gaussian alternative (a channel-mode
+        # latent pack from moment-fitted f32 params — the cheapest possible
+        # side info), the round-3 economics table's reference rate.
+        from nvfpcc_tpu.coder import range_coder as RC
+
+        ch = lat_int.shape[-1]
+        flat = lat_int.reshape(-1, ch).astype(np.float64)
+        sigma = np.maximum(flat.std(axis=0), 1e-3).astype(np.float32)
+        mu = flat.mean(axis=0).astype(np.float32)
+        lpack = RC.encode_latents(lat_int.astype(np.float32), sigma, mu)
+        sbits = 8 * len(lpack["stream"])
+        pbits = 2 * ch * 32
+        emit("marginal", {
+            "coded_b_per_sym": round(sbits / n_sym, 4),
+            "stream_bits": sbits, "payload_bits": pbits,
+            "total_bits": sbits + pbits,
+            "latent_bpp_incl_payload": round((sbits + pbits) / args.n_points, 5),
+        })
+        # "ckpt": the checkpoint's own co-trained predictor, unfitted — the
+        # no-upgrade pack the economics gate compares against.
+        if src_mode in M.CTX_MODES:
+            qtree = W.quantize_residuals(params, 16)
+            payload = CTX.build_ctx_payload(base_spec, qtree["entropy"], qp=16)
+            ints = CTX.ctx_ints_from_payload(base_spec, payload)
+            c_ar = src_mode == "ctx_ar"
+            enc = CTX.encode_latents_ctx(lat_int, ints, channel_ar=c_ar)
+            dec = CTX.decode_latents_ctx(enc["stream"], enc["shape"], ints, channel_ar=c_ar)
+            assert np.array_equal(dec, enc["coded"]), "ckpt round-trip failed"
+            sbits = 8 * len(enc["stream"])
+            pbits = int(CTX.ctx_payload_bits(payload))
+            emit("ckpt", {
+                "mode": src_mode,
+                "coded_b_per_sym": round(sbits / n_sym, 4),
+                "stream_bits": sbits, "payload_bits": pbits,
+                "total_bits": sbits + pbits,
+                "latent_bpp_incl_payload": round((sbits + pbits) / args.n_points, 5),
+                "n_clamped": int(enc["n_clamped"]),
+            })
+
     for name in args.candidates.split(","):
         name = name.strip()
         hidden, tail = CANDIDATES[name]
@@ -125,11 +180,7 @@ def main() -> int:
             ),
             "n_clamped": int(enc["n_clamped"]),
         }
-        results[name] = row
-        print(f"[cap2] {name}: " + json.dumps(row), flush=True)
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
-        with open(out_partial, "w") as f:
-            json.dump(results, f, indent=1)
+        emit(name, row)
     os.replace(out_partial, args.out)
     print("[cap2] wrote " + args.out, flush=True)
     return 0
