@@ -262,6 +262,7 @@ def cmd_train(args) -> int:
         shuffle=args.shuffle,
         eval_every=args.eval_every,
         compute_dtype=args.compute_dtype,
+        emb_chunks=args.emb_chunks,
         seed=args.seed,
     )
     mesh = None
@@ -531,9 +532,17 @@ def build_parser() -> argparse.ArgumentParser:
         "selectable",
     )
     t.add_argument(
-        "--compute_dtype", choices=("f32", "bf16"), default="f32",
-        help="decoder-conv arithmetic precision during training (bf16 = "
-        "MXU-native mixed precision; master params / rate / loss stay f32)",
+        "--compute_dtype", choices=("f32", "bf16"), default="bf16",
+        help="decoder-conv arithmetic precision during training (bf16 "
+        "default = MXU-native mixed precision, 1.13x faster and RD-neutral-"
+        "or-better on all measured shapes; master params / rate / loss stay "
+        "f32; --compute_dtype f32 restores the reference-exact recipe)",
+    )
+    t.add_argument(
+        "--emb_chunks", type=int, default=0,
+        help="full-set embedding-update block chunking; 0 = auto (single "
+        "program up to 4096 blocks, then the smallest count that fits HBM "
+        "— vox11-scale clouds OOM the unchunked update on a 16 GB chip)",
     )
     t.set_defaults(fn=cmd_train)
 

@@ -82,12 +82,29 @@ class TrainConfig:
     """Reproduce the reference scheduler bug (NVFPCC.py:126): both schedulers
     step the *net* optimizer, so the net lr decays twice (x0.01 per milestone)
     and the embedding lr never decays. Off by default (intended behavior)."""
-    compute_dtype: str = "f32"
-    """Decoder-conv arithmetic precision during TRAINING: "f32" (default) or
-    "bf16" (MXU-native mixed precision — master params, STE rounding, latent
-    entropy and loss math stay f32; only the 7-layer conv chain and its
-    gradients run bf16). Never part of the pack format: encode/decode always
-    run the precision the pack declares (CodecConfig.recon_dtype)."""
+    compute_dtype: str = "bf16"
+    """Decoder-conv arithmetic precision during TRAINING: "bf16" (default —
+    MXU-native mixed precision; master params, STE rounding, latent entropy
+    and loss math stay f32; only the 7-layer conv chain and its gradients run
+    bf16) or "f32". Default flipped to bf16 in round 5 on the three-shape
+    A/B: RD-dominant on sphere, on-or-above the f32 RD curve on torus/helix,
+    1.13x faster epochs (RESULTS.md mixed-precision sections). Never part of
+    the pack format: encode/decode always run the precision the pack declares
+    (CodecConfig.recon_dtype). One caveat rides with bf16: XLA refuses convs
+    differently across program layouts (epoch chunk boundaries, resume,
+    GSPMD), so trajectory-equality guarantees (chunked == per-epoch,
+    straight == resumed, mesh == single-device) are bitwise/ulp-exact only
+    under f32; under bf16 they hold to bf16-ulp drift."""
+    emb_chunks: int = 0
+    """Block chunking for the once-per-epoch full-set embedding update.
+    0 (default) = auto: one chunk up to 4096 blocks (every vox10 artifact —
+    programs unchanged), then the smallest count that fits (vox11's 5326
+    blocks OOM the single-program update on a 16 GB chip: its all-blocks conv
+    activations alone are ~13 GB). The decomposition is exact (sums over
+    blocks + a global rate normalizer, train/loop.py:make_emb_full_grad —
+    exact for deterministic forms, i.e. ctx modes at q=2; noise draws differ
+    per chunking but are statistically identical). Ignored under block-DP
+    (the mesh already splits the update)."""
     seed: int = 0
 
 

@@ -116,6 +116,7 @@ def rd_loss(
     key: Optional[jax.Array],
     rd_w: Optional[jnp.ndarray] = None,
     compute_dtype=None,
+    n_pts_override=None,
 ):
     """The reference's full RD objective + metrics (``NVFPCC.py:160-196``).
 
@@ -138,6 +139,10 @@ def rd_loss(
     else:
         n_pts = gt_b.sum()
         latent_bits = latent_bits_pb.sum()
+    if n_pts_override is not None:
+        # chunked full-set emb update: every chunk must normalize its latent
+        # rate by the GLOBAL point count so grad-of-sum == sum-of-chunk-grads
+        n_pts = n_pts_override
 
     b_latent = latent_bits / n_pts
     b_net = net_bits.sum() / n_total_pts
@@ -187,9 +192,83 @@ def _prep_dense(gt: np.ndarray, dist: np.ndarray):
     return gt_d, dist_d
 
 
-def _epoch_body(spec, cfg, net_opt, emb_opt, n_total_pts, q):
+# auto emb-update chunking kicks in above this block count: every vox10
+# artifact (<= 2716 blocks) keeps its existing single-program update
+# (byte-identical programs -> persistent-cache hits), while vox11-scale
+# clouds (5326+ blocks, whose all-blocks conv activations alone exceed the
+# 15.75 GB v5e HBM — measured OOM at 15.85 GB) split just enough to fit.
+EMB_CHUNK_BLOCKS = 4096
+
+
+def resolve_emb_chunks(requested: int, n_blocks: int) -> int:
+    """0 = auto: smallest chunk count keeping <= EMB_CHUNK_BLOCKS blocks per
+    chunk; any positive value is taken as-is."""
+    if requested and requested > 0:
+        return int(requested)
+    return max(1, -(-n_blocks // EMB_CHUNK_BLOCKS))
+
+
+def make_emb_full_grad(spec, cfg, n_total_pts, q, emb_chunks=1):
+    """Gradient of the full-set embedding loss (reference NVFPCC.py:225-251),
+    optionally computed in ``emb_chunks`` sequential block chunks
+    (``lax.map``) instead of one all-blocks program.
+
+    The decomposition is exact for every DETERMINISTIC form: all loss terms
+    are sums over blocks, and the one global normalizer (the full-set point
+    count dividing the latent rate) is computed once and passed into each
+    chunk — grad-of-sum == concat-of-chunk-grads (tested bitwise-close in
+    ``tests/test_train_chunking.py``). Noise forms draw from per-chunk folded
+    keys — a different (statistically identical) stream than the unchunked
+    program. Concretely: ctx modes at q=2 are key-free (chunked == unchunked
+    up to float reassociation); channel/gaussian modes add rate noise at
+    every train step (``entropy_apply``), so their chunked draws differ at
+    q=1 AND q=2 — in production this never bites: auto-chunking engages only
+    above EMB_CHUNK_BLOCKS blocks, i.e. vox11 scale, where the train gate
+    picks ctx. Peak HBM for the update scales 1/chunks (the all-blocks conv
+    activations are the OOM driver at vox11: a (5326,35,35,35,8) f32
+    activation alone is 6.8 GB). Requires the block count to be a multiple of
+    ``emb_chunks`` (train() pads)."""
+
+    cd = getattr(cfg, "compute_dtype", "f32")
+
+    def emb_loss(emb, params, gt, dist, block_valid, key, rd_w, n_pts_g=None):
+        loss, _ = rd_loss(
+            spec, cfg, jax.lax.stop_gradient(params), emb, gt, dist, block_valid,
+            n_total_pts, "train", q, key, rd_w, compute_dtype=cd,
+            n_pts_override=n_pts_g,
+        )
+        return loss
+
+    def emb_full_grad(emb, params, gt, dist, block_valid, key, rd_w):
+        if emb_chunks <= 1:
+            return jax.grad(emb_loss)(emb, params, gt, dist, block_valid, key, rd_w)
+        n = emb.shape[0]
+        c = emb_chunks
+        assert n % c == 0, f"padded block count {n} not a multiple of emb_chunks {c}"
+        n_pts_g = (gt.reshape(n, -1).sum(1) * block_valid).sum()
+        keys_c = jax.random.split(key, c)
+
+        def r(x):
+            return x.reshape((c, n // c) + x.shape[1:])
+
+        def chunk_grad(xs):
+            emb_c, gt_c, dist_c, bv_c, kc = xs
+            return jax.grad(emb_loss)(
+                emb_c, params, gt_c, dist_c, bv_c, kc, rd_w, n_pts_g
+            )
+
+        grads = jax.lax.map(
+            chunk_grad, (r(emb), r(gt), r(dist), r(block_valid), keys_c)
+        )
+        return grads.reshape(emb.shape)
+
+    return emb_full_grad
+
+
+def _epoch_body(spec, cfg, net_opt, emb_opt, n_total_pts, q, emb_chunks=1):
     """(carry, per-epoch inputs) -> (carry, metrics) — one full epoch: scan of
-    per-batch net updates, then the full-set embedding update. Shared by the
+    per-batch net updates, then the full-set embedding update (chunked per
+    :func:`make_emb_full_grad` when ``emb_chunks > 1``). Shared by the
     single-epoch and chunked programs so both trace identical math."""
 
     cd = getattr(cfg, "compute_dtype", "f32")
@@ -200,12 +279,7 @@ def _epoch_body(spec, cfg, net_opt, emb_opt, n_total_pts, q):
             n_total_pts, "train", q, key, rd_w, compute_dtype=cd,
         )
 
-    def emb_loss(emb, params, gt, dist, block_valid, key, rd_w):
-        loss, _ = rd_loss(
-            spec, cfg, jax.lax.stop_gradient(params), emb, gt, dist, block_valid,
-            n_total_pts, "train", q, key, rd_w, compute_dtype=cd,
-        )
-        return loss
+    emb_full_grad = make_emb_full_grad(spec, cfg, n_total_pts, q, emb_chunks)
 
     def one_epoch(params, opt_state, emb, emb_opt_state, gt, dist, idx, mask,
                   block_valid, key, rd_w):
@@ -230,7 +304,7 @@ def _epoch_body(spec, cfg, net_opt, emb_opt, n_total_pts, q):
         )
 
         # full-set embedding update (reference NVFPCC.py:225-251)
-        emb_grads = jax.grad(emb_loss)(emb, params, gt, dist, block_valid, keys[-1], rd_w)
+        emb_grads = emb_full_grad(emb, params, gt, dist, block_valid, keys[-1], rd_w)
         emb_updates, emb_opt_state = emb_opt.update(emb_grads, emb_opt_state, emb)
         emb = optax.apply_updates(emb, emb_updates)
 
@@ -246,9 +320,10 @@ def make_epoch_fn(
     emb_opt,
     n_total_pts: float,
     q: int,
+    emb_chunks: int = 1,
 ) -> Callable:
     """One jitted epoch. Compiled once per q phase."""
-    one_epoch = _epoch_body(spec, cfg, net_opt, emb_opt, n_total_pts, q)
+    one_epoch = _epoch_body(spec, cfg, net_opt, emb_opt, n_total_pts, q, emb_chunks)
 
     # donate the threaded state: params/opt/emb buffers update in place on
     # device instead of being copied every epoch
@@ -272,6 +347,7 @@ def make_epochs_fn(
     emb_opt,
     n_total_pts: float,
     q: int,
+    emb_chunks: int = 1,
 ) -> Callable:
     """A CHUNK of epochs as one jitted program: ``lax.scan`` over K epochs of
     the same per-epoch body as :func:`make_epoch_fn`, so the trajectory is
@@ -287,7 +363,7 @@ def make_epochs_fn(
     epoch-number vector, and the stacked per-epoch metrics come back
     (K, n_batches).
     """
-    one_epoch = _epoch_body(spec, cfg, net_opt, emb_opt, n_total_pts, q)
+    one_epoch = _epoch_body(spec, cfg, net_opt, emb_opt, n_total_pts, q, emb_chunks)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def epochs_fn(
@@ -412,8 +488,24 @@ def train(
         n_padded = pm.padded_block_count(n_blocks, mesh)
         gt = pm.pad_blocks(np.asarray(gt), n_padded)
         dist = pm.pad_blocks(np.asarray(dist), n_padded)
+        # block-DP already splits the full-set emb grad across devices; the
+        # single-program OOM the chunking addresses does not arise there
+        emb_chunks = 1
     else:
         n_padded = n_blocks
+        emb_chunks = resolve_emb_chunks(
+            getattr(cfg, "emb_chunks", 0), n_blocks
+        )
+        if emb_chunks > 1 and n_padded % emb_chunks:
+            n_padded = n_padded + (-n_padded) % emb_chunks
+
+            def _pad_n(a, n):
+                a = np.asarray(a)
+                pad = np.zeros((n - a.shape[0],) + a.shape[1:], a.dtype)
+                return np.concatenate([a, pad])
+
+            gt = _pad_n(gt, n_padded)
+            dist = _pad_n(dist, n_padded)
     block_valid = jnp.asarray(
         np.concatenate(
             [np.ones(n_blocks, np.float32), np.zeros(n_padded - n_blocks, np.float32)]
@@ -436,7 +528,7 @@ def train(
         block_valid = jax.device_put(block_valid, pm.block_sharding(mesh))
 
     epoch_fns = {
-        q: make_epochs_fn(spec, cfg, net_opt, emb_opt, n_total_pts, q)
+        q: make_epochs_fn(spec, cfg, net_opt, emb_opt, n_total_pts, q, emb_chunks)
         for q in (1, 2)
     }
     eval_fn = make_eval_fn(spec, cfg, n_total_pts)

@@ -33,6 +33,16 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=501)
     ap.add_argument("--workdir", default="/tmp/r3sweep")
     ap.add_argument("--out_dir", default="results/round3")
+    ap.add_argument(
+        "--cloud", default=CLOUD,
+        help="vox11 source cloud (round-5 item 6: the ctx_post economics "
+        "need a second, non-sphere large-cloud measurement)",
+    )
+    ap.add_argument(
+        "--tag", default="",
+        help="suffix for the output json (so a second cloud's rows do not "
+        "overwrite the sphere's)",
+    )
     args = ap.parse_args()
 
     from nvfpcc_tpu.cli import main as cli_main
@@ -42,7 +52,8 @@ def main() -> int:
 
     enable_compilation_cache()
     os.makedirs(args.out_dir, exist_ok=True)
-    src = np.rint(read_ply_points(CLOUD)).astype(np.int64)
+    cloud = args.cloud
+    src = np.rint(read_ply_points(cloud)).astype(np.int64)
     common = ["--depth", str(DEPTH), "--level", str(LEVEL)]
 
     def stage(name, argv):
@@ -61,7 +72,7 @@ def main() -> int:
         os.makedirs(work, exist_ok=True)
         if not os.path.exists(os.path.join(ckpts, f"{args.epochs - 1:04d}.npz")):
             stage(f"train l{lam}", [
-                "train", CLOUD, *common, "--lambda", lam,
+                "train", cloud, *common, "--lambda", lam,
                 "--epochs", str(args.epochs), "--checkpoint_dir", ckpts,
                 "--resume",  # pick up where a tunnel-interrupted run stopped
             ])
@@ -71,7 +82,7 @@ def main() -> int:
         pack = os.path.join(work, "pack.pk")
         rc_enc = os.path.join(work, "rc_enc.ply")
         stage(f"encode l{lam}", [
-            "encode", CLOUD, *common, "--load_checkpoint", ckpts,
+            "encode", cloud, *common, "--load_checkpoint", ckpts,
             "--pack_fn", pack, "--recon", rc_enc, "--thh", thhs[0],
         ])
         from nvfpcc_tpu import codec as _codec
@@ -107,7 +118,8 @@ def main() -> int:
             }
             rows.append(row)
             print("[sweep] ROW " + json.dumps(row), flush=True)
-        out = os.path.join(args.out_dir, f"v11_ctxpost_l{lam}.json")
+        suffix = f"_{args.tag}" if args.tag else ""
+        out = os.path.join(args.out_dir, f"v11_ctxpost_l{lam}{suffix}.json")
         with open(out, "w") as f:
             json.dump(rows, f, indent=1)
         print(f"[sweep] wrote {out}", flush=True)

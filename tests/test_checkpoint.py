@@ -45,11 +45,19 @@ def test_resume_continues_trajectory(toy_grids, tmp_path):
     mcfg = ModelConfig(ch=2, chanstr="4,8,4,4")
 
     ckpt_a = str(tmp_path / "a")
-    cfg4 = TrainConfig(epochs=4, phase_change=2, batch_size=4, eval_every=1)
+    # pinned f32: straight-vs-resumed equality is an f32 contract (resume
+    # re-chunks the epoch programs; bf16 refusion drifts at bf16-ulp scale)
+    cfg4 = TrainConfig(
+        epochs=4, phase_change=2, batch_size=4, eval_every=1,
+        compute_dtype="f32",
+    )
     _, s_straight = train(gt, dist, mcfg, cfg4, checkpoint_dir=ckpt_a, log=lambda *_: None)
 
     ckpt_b = str(tmp_path / "b")
-    cfg2 = TrainConfig(epochs=2, phase_change=2, batch_size=4, eval_every=1)
+    cfg2 = TrainConfig(
+        epochs=2, phase_change=2, batch_size=4, eval_every=1,
+        compute_dtype="f32",
+    )
     train(gt, dist, mcfg, cfg2, checkpoint_dir=ckpt_b, log=lambda *_: None)
     _, s_resumed = train(
         gt, dist, mcfg, cfg4, checkpoint_dir=ckpt_b, log=lambda *_: None, resume=True

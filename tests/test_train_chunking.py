@@ -5,6 +5,7 @@ numerics change. Both paths trace the same per-epoch body (_epoch_body), so
 the comparison here is bitwise."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -27,9 +28,14 @@ def _toy_grids(seed=0):
 def test_chunked_train_matches_per_epoch_loop(shuffle):
     gt, dist = _toy_grids()
     mcfg = ModelConfig(ch=2, chanstr="4,8,4,4")
+    # pinned f32: this test's ulp-scale tolerances verify the CHUNKING
+    # mechanics; under the bf16 production default, program-boundary refusion
+    # shifts results by bf16 ulps (~1e-2 rel), which is mixed precision's
+    # documented drift, not a chunking bug (tests/test_mixed_precision.py
+    # covers the bf16 path).
     tcfg = TrainConfig(
         batch_size=4, epochs=EPOCHS, phase_change=2, eval_every=2,
-        shuffle=shuffle, seed=3,
+        shuffle=shuffle, seed=3, compute_dtype="f32",
     )
 
     # chunked path: the production train() driver
@@ -94,3 +100,83 @@ def test_chunk_boundaries_respect_eval_and_phase():
         lines = [json.loads(l) for l in open(f.name)]
     assert [l["epoch"] for l in lines] == list(range(6))
     assert [l["q"] for l in lines] == [1, 1, 1, 2, 2, 2]
+
+
+def test_resolve_emb_chunks():
+    assert T.resolve_emb_chunks(0, 1314) == 1
+    assert T.resolve_emb_chunks(0, 4096) == 1
+    assert T.resolve_emb_chunks(0, 5326) == 2   # vox11 sphere: the OOM case
+    assert T.resolve_emb_chunks(0, 12300) == 4
+    assert T.resolve_emb_chunks(3, 100) == 3    # explicit wins
+
+
+def test_emb_chunked_grad_matches_unchunked():
+    """The chunked full-set embedding GRADIENT must equal the unchunked one
+    for deterministic forms — ctx mode at q=2, the exact configuration
+    auto-chunking serves in production (vox11-scale trains ctx; see
+    make_emb_full_grad). Compared at the gradient, not the Adam step: Adam is
+    discontinuous at g=0 (any nonzero g gives a full ±lr step), so float
+    reassociation across program layouts can flip a near-zero-grad element's
+    step by lr — an optimizer property, not a chunking defect."""
+    n = 8
+    rng = np.random.default_rng(7)
+    gt = (rng.uniform(0, 1, (n, 32, 32, 32)) < 0.02).astype(np.uint8)
+    dist = (rng.uniform(0, 6, gt.shape) * (1 - gt)).astype(np.float32)
+    mcfg = ModelConfig(ch=2, chanstr="4,8,4,4", entropy_mode="ctx")
+    tcfg = TrainConfig(batch_size=4, compute_dtype="f32")
+    spec = M.build_model_spec(mcfg.ch, mcfg.channels, mcfg.seed_tag,
+                              mcfg.entropy_mode)
+    params = M.init_params(spec)
+    emb = M.init_embeddings(n, mcfg.ch)
+    gt_d, dist_d = T._prep_dense(gt, dist)
+    block_valid = jnp.ones((n,), jnp.float32)
+    key = jax.random.PRNGKey(11)
+    rd_w = T.rd_weights(tcfg)
+
+    grads = []
+    for chunks in (1, 4):
+        g_fn = T.make_emb_full_grad(spec, tcfg, float(gt.sum()), 2, chunks)
+        g = jax.jit(g_fn)(emb, params, gt_d, dist_d, block_valid, key, rd_w)
+        grads.append(np.asarray(jax.device_get(g)))
+    scale = np.abs(grads[0]).max()
+    assert scale > 0  # the toy problem must actually produce a gradient
+    np.testing.assert_allclose(grads[0], grads[1], rtol=1e-5, atol=1e-6 * scale)
+
+
+def test_emb_chunked_grad_channel_mode_statistics():
+    """Channel mode draws rate noise at every train step (entropy_apply), so
+    chunked and unchunked gradients differ per draw BY DESIGN. They must
+    still agree in expectation: key-average both arms and compare loosely
+    (only the rate-noise component differs; the focal terms are identical)."""
+    n = 8
+    rng = np.random.default_rng(3)
+    gt = (rng.uniform(0, 1, (n, 32, 32, 32)) < 0.02).astype(np.uint8)
+    dist = (rng.uniform(0, 6, gt.shape) * (1 - gt)).astype(np.float32)
+    mcfg = ModelConfig(ch=2, chanstr="4,8,4,4")
+    tcfg = TrainConfig(batch_size=4, compute_dtype="f32")
+    spec = M.build_model_spec(mcfg.ch, mcfg.channels, mcfg.seed_tag,
+                              mcfg.entropy_mode)
+    params = M.init_params(spec)
+    emb = M.init_embeddings(n, mcfg.ch)
+    gt_d, dist_d = T._prep_dense(gt, dist)
+    block_valid = jnp.ones((n,), jnp.float32)
+    rd_w = T.rd_weights(tcfg)
+
+    # average each arm's gradient over several keys: the noise-field draws
+    # differ per chunking, but both are iid U(-.5,.5), so the key-averaged
+    # gradients must converge to the same expectation
+    K = 4
+    means = []
+    for chunks in (1, 4):
+        g_fn = jax.jit(T.make_emb_full_grad(spec, tcfg, float(gt.sum()), 2, chunks))
+        acc = None
+        for s in range(K):
+            g = g_fn(emb, params, gt_d, dist_d, block_valid,
+                     jax.random.PRNGKey(100 + s), rd_w)
+            g = np.asarray(jax.device_get(g))
+            acc = g if acc is None else acc + g
+        means.append(acc / K)
+    scale = np.abs(means[0]).max()
+    assert np.all(np.isfinite(means[1]))
+    # loose: same expectation, different draws
+    assert np.abs(means[0] - means[1]).max() < 0.25 * scale
