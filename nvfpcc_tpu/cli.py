@@ -158,52 +158,65 @@ def resolve_auto_train(level: int, n_symbols: int) -> str:
     return "channel"
 
 
-# Measured ctx_post economics (results/round3/ctx_capacity_sweep.json:
-# exhaustive post-hoc ctx_ar fits on the frozen vox11 l200 ctx-checkpoint
-# latents, 94,032 symbols, marginal 3.869 b/sym): per hidden width, the
-# expected latent-stream cut in bits/symbol and the transmitted-predictor
-# payload in bits. h64 is dominated on BOTH axes there (smaller cut than h16
-# at 2.7x the payload — the fit under-trains at that width), so the gate can
-# never pick it. Single-cloud provenance: these are vox11-sphere constants
-# used as a break-even model, not re-measured per cloud; explicit
-# --entropy_mode/--ctx_hidden flags remain authoritative overrides.
+# Measured ctx_post economics (results/round5/ctx_capacity2.json: exhaustive
+# post-hoc ctx_ar fits with REAL coded bits on the frozen vox11 l200
+# ctx-checkpoint latents under the production bf16 recipe, 127,824 symbols,
+# marginal 2.2856 b/sym): per (hidden, tail) candidate, the expected
+# latent-stream cut in bits/symbol vs the moment-fit marginal and the
+# transmitted-predictor payload in bits. h32t24 dominates every other row on
+# BOTH axes (largest cut at the smallest payload — the tail units code the
+# stream better AND cost ~1/7 the taps), so the gate effectively always
+# picks it; the dominated rows stay as measured documentation. The round-3
+# f32-recipe table (h8/h16/h32, marginal 3.869, cuts 0.21-0.34 b/sym —
+# results/round3/ctx_capacity_sweep.json) is retired: the bf16 trajectory
+# lands on far lower-entropy latents and the conditional cuts collapse ~2.5x
+# with it (RESULTS.md round 5). Single-cloud provenance: vox11-sphere
+# constants used as a break-even model, not re-measured per cloud (vox11
+# torus validation in results/round5/ctx_capacity2_torus.json); explicit
+# --entropy_mode/--ctx_hidden/--ctx_tail flags remain authoritative
+# overrides.
 CTX_POST_ECONOMICS = (
-    # (hidden, expected stream cut b/sym, predictor payload bits)
-    (8, 3.869 - 3.661, 8_136.0),
-    (16, 3.869 - 3.5855, 13_920.0),
-    (32, 3.869 - 3.5322, 22_912.0),
+    # (hidden, tail, expected stream cut b/sym, predictor payload bits)
+    (16, 0, 2.2856 - 2.2050, 13_408.0),
+    (32, 0, 2.2856 - 2.1904, 22_584.0),
+    (32, 16, 2.2856 - 2.1806, 12_896.0),
+    (32, 24, 2.2856 - 2.1582, 11_808.0),
 )
 
 
 def ctx_post_break_even(n_symbols: int):
-    """(predicted net stream saving in bits, best hidden width) for a
-    post-hoc ctx_ar upgrade of an n_symbols-latent pack. The saving model is
-    ``n_symbols * cut(h) - payload(h)`` over the measured economics table;
-    a non-positive best saving means the predictor payload would cancel the
-    stream gain (the measured vox10 outcome, RESULTS.md E4)."""
+    """(predicted net stream saving in bits, best hidden width, best tail)
+    for a post-hoc ctx_ar upgrade of an n_symbols-latent pack. The saving
+    model is ``n_symbols * cut(h,t) - payload(h,t)`` over the measured
+    economics table; a non-positive best saving means the predictor payload
+    would cancel the stream gain (the measured vox10 outcome, RESULTS.md
+    E4). With the round-5 table the break-even edge is h32t24's
+    ~93k symbols."""
     return max(
-        (n_symbols * cut - payload, h) for h, cut, payload in CTX_POST_ECONOMICS
+        (n_symbols * cut - payload, h, t)
+        for h, t, cut, payload in CTX_POST_ECONOMICS
     )
 
 
 def resolve_auto_encode(trained_mode: str, trained_hidden: int, n_symbols: int):
     """`--entropy_mode auto` at encode time -> (entropy_mode, ctx_hidden,
-    ctx_post). A ctx-family checkpoint is upgraded with the post-hoc fitted
-    channel-AR predictor when the measured break-even model predicts a net
-    stream saving at this cloud's symbol count (:func:`ctx_post_break_even`
-    — the quantity that actually decides the trade; the round-3 ``level >=
-    6`` gate was a proxy for it and misclassified small-but-deep or
-    large-but-shallow clouds). Measured anchors: vox11 sphere (94,032
-    symbols) predicts +12.7k bits at h16 and measured strictly dominant
-    (0.1568 bpp @ 79.97 dB vs channel 0.1576 @ 79.76, RESULTS.md round 3);
-    vox10 sphere (23,136 symbols) predicts -7.4k bits and measured canceled
-    (E4). Channel-trained latents are measured conditionally unpredictable
-    (RESULTS.md round 3), so only ctx-family checkpoints upgrade."""
+    ctx_tail, ctx_post). A ctx-family checkpoint is upgraded with the
+    post-hoc fitted channel-AR predictor when the measured break-even model
+    predicts a net stream saving at this cloud's symbol count
+    (:func:`ctx_post_break_even` — the quantity that actually decides the
+    trade; the round-3 ``level >= 6`` gate was a proxy for it and
+    misclassified small-but-deep or large-but-shallow clouds). Measured
+    anchors (round-5 table): vox11 sphere (127,824 symbols) predicts +4.5k
+    bits at h32t24 and measured +4.7k vs the marginal floor
+    (results/round5/ctx_capacity2.json); vox10 sphere (23,136 symbols)
+    predicts negative and measured canceled (E4). Channel-trained latents
+    are measured conditionally unpredictable (RESULTS.md round 3), so only
+    ctx-family checkpoints upgrade."""
     if trained_mode in ("ctx", "ctx_ar"):
-        gain, hidden = ctx_post_break_even(n_symbols)
+        gain, hidden, tail = ctx_post_break_even(n_symbols)
         if gain > 0:
-            return "ctx_ar", hidden, True
-    return trained_mode, trained_hidden, False
+            return "ctx_ar", hidden, tail, True
+    return trained_mode, trained_hidden, 0, False
 
 
 _DEFAULT_CH = 3
@@ -340,18 +353,19 @@ def cmd_encode(args) -> int:
         trained = str(meta.get("entropy_mode", "channel"))
         trained_hidden = int(meta.get("ctx_hidden", args.ctx_hidden))
         n_symbols = n_blocks * int(args.ch) * 8  # latent symbols this pack codes
-        mode, hidden, post = resolve_auto_encode(
+        mode, hidden, tail, post = resolve_auto_encode(
             trained, trained_hidden, n_symbols
         )
         args.entropy_mode, args.ctx_hidden = mode, hidden
         if post and not args.ctx_post:
             args.ctx_post = True
-            gain, _ = ctx_post_break_even(n_symbols)
+            args.ctx_tail = tail  # the refit replaces the trained split
+            gain, _, _ = ctx_post_break_even(n_symbols)
             print(
                 f"[encode] entropy_mode auto -> ctx_ar + ctx_post (hidden "
-                f"{hidden}): predicted net stream saving {gain:.0f} bits at "
-                f"{n_symbols} symbols (measured break-even model, RESULTS.md); "
-                "pass an explicit --entropy_mode to opt out"
+                f"{hidden} tail {tail}): predicted net stream saving "
+                f"{gain:.0f} bits at {n_symbols} symbols (measured break-even "
+                "model, RESULTS.md); pass an explicit --entropy_mode to opt out"
             )
         else:
             print(

@@ -67,9 +67,10 @@ class TestAutoEntropyMode:
     measured guidance published in RESULTS.md."""
 
     # measured anchor clouds: vox10 sphere (round-4 driver) = 1,314 blocks
-    # * 3 ch * 8 positions; vox11 sphere = 3,918 blocks * 3 * 8
+    # * 3 ch * 8 positions; vox11 sphere (round-5 capacity run) = 5,326
+    # blocks * 3 * 8
     VOX10_SYMS = 1314 * 3 * 8
-    VOX11_SYMS = 3918 * 3 * 8
+    VOX11_SYMS = 5326 * 3 * 8
 
     def test_train_resolves_by_level_and_break_even(self):
         """Round-4 decision table (RESULTS.md): channel wins at vox10 on all
@@ -90,22 +91,27 @@ class TestAutoEntropyMode:
         from nvfpcc_tpu.cli import resolve_auto_encode
 
         # vox10 scale: predicted payload > stream cut (measured E4 outcome)
-        assert resolve_auto_encode("ctx", 8, self.VOX10_SYMS) == ("ctx", 8, False)
+        assert resolve_auto_encode("ctx", 8, self.VOX10_SYMS) == (
+            "ctx", 8, 0, False,
+        )
         assert resolve_auto_encode("channel", 8, self.VOX10_SYMS) == (
-            "channel", 8, False,
+            "channel", 8, 0, False,
         )
 
     def test_encode_upgrades_ctx_family_past_break_even(self):
         from nvfpcc_tpu.cli import resolve_auto_encode
 
-        # vox11 scale: h16 is the measured-best width (capacity sweep)
-        assert resolve_auto_encode("ctx", 8, self.VOX11_SYMS) == ("ctx_ar", 16, True)
+        # vox11 scale: h32t24 is the measured-best candidate (round-5
+        # capacity decision, results/round5/ctx_capacity2.json)
+        assert resolve_auto_encode("ctx", 8, self.VOX11_SYMS) == (
+            "ctx_ar", 32, 24, True,
+        )
         assert resolve_auto_encode("ctx_ar", 8, self.VOX11_SYMS) == (
-            "ctx_ar", 16, True,
+            "ctx_ar", 32, 24, True,
         )
         # channel-trained latents are conditionally unpredictable — no upgrade
         assert resolve_auto_encode("channel", 8, self.VOX11_SYMS) == (
-            "channel", 8, False,
+            "channel", 8, 0, False,
         )
 
     def test_break_even_is_symbol_count_not_level(self):
@@ -114,17 +120,35 @@ class TestAutoEntropyMode:
         from nvfpcc_tpu.cli import CTX_POST_ECONOMICS, ctx_post_break_even, resolve_auto_encode
 
         # tiny cloud: always keep the checkpoint's model
-        assert resolve_auto_encode("ctx", 8, 100) == ("ctx", 8, False)
-        # mid-scale window where the h8 payload amortizes but h16's does not
-        mode, hidden, post = resolve_auto_encode("ctx", 8, 50_000)
-        assert (mode, post) == ("ctx_ar", True) and hidden == 8
-        # very large clouds amortize the h32 payload
-        mode, hidden, post = resolve_auto_encode("ctx", 8, 500_000)
-        assert (mode, post) == ("ctx_ar", True) and hidden == 32
-        # the first upgrade edge is the cheapest width's own break-even
-        h0, cut0, payload0 = min(CTX_POST_ECONOMICS, key=lambda r: r[2] / r[1])
+        assert resolve_auto_encode("ctx", 8, 100) == ("ctx", 8, 0, False)
+        # mid-scale (old vox11 sweep cloud would be the h8-era window): under
+        # the round-5 bf16-recipe cuts no candidate pays below ~93k symbols
+        assert resolve_auto_encode("ctx", 8, 50_000) == ("ctx", 8, 0, False)
+        # very large clouds: h32t24 still dominates (largest cut AND
+        # smallest payload — no crossover to another width exists)
+        mode, hidden, tail, post = resolve_auto_encode("ctx", 8, 500_000)
+        assert (mode, post) == ("ctx_ar", True) and (hidden, tail) == (32, 24)
+        # the first upgrade edge is the cheapest candidate's own break-even
+        h0, t0, cut0, payload0 = min(
+            CTX_POST_ECONOMICS, key=lambda r: r[3] / r[2]
+        )
         edge = payload0 / cut0
         assert ctx_post_break_even(int(edge) - 1)[0] <= 0
         assert ctx_post_break_even(int(edge) + 2)[0] > 0
-        gain, _ = ctx_post_break_even(0)
+        gain, _, _ = ctx_post_break_even(0)
         assert gain < 0  # zero symbols can never pay a payload
+
+    def test_round5_table_dominance(self):
+        """h32t24 dominates every other measured candidate on both axes, so
+        whenever the gate upgrades it must pick it; if a future remeasure
+        breaks the dominance this test forces a deliberate re-decision."""
+        from nvfpcc_tpu.cli import CTX_POST_ECONOMICS, ctx_post_break_even
+
+        rows = {(h, t): (cut, pay) for h, t, cut, pay in CTX_POST_ECONOMICS}
+        best_cut, best_pay = rows[(32, 24)]
+        for (h, t), (cut, pay) in rows.items():
+            if (h, t) != (32, 24):
+                assert cut <= best_cut and pay >= best_pay
+        for n in (100_000, 200_000, 1_000_000):
+            gain, h, t = ctx_post_break_even(n)
+            assert (h, t) == (32, 24)
